@@ -1,0 +1,27 @@
+import os
+import sys
+
+# Sharding tests run on a virtual 8-device CPU mesh; the real-TPU bench
+# path sets its own platform.  Must be configured before jax import.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REF_TEST_DIR = '/root/reference/test'
+
+
+@pytest.fixture(scope='session')
+def ref_samples():
+    """Load reference sample files (sample0..sample5)."""
+    out = {}
+    for i in range(6):
+        path = os.path.join(REF_TEST_DIR, 'sample%d.ref' % i)
+        with open(path, 'rb') as f:
+            out['sample%d' % i] = f.read()
+    return out

@@ -1,0 +1,122 @@
+"""BWT tests: closed-form vectors (reference test/bwtest.js:39-79),
+suffix-array property verification (reference test/suftest.js:10-83), and
+transform round-trips on the sample corpus."""
+
+import numpy as np
+import pytest
+
+from compressjs_tpu.ops import bwt
+
+
+def sufcheck(T, SA, n):
+    """O(n) independent suffix-array correctness proof (port of the
+    reference's property verifier, test/suftest.js:10-83)."""
+    if n == 0:
+        return 0
+    SA = np.asarray(SA)
+    T = np.asarray(T)
+    # range
+    assert ((SA >= 0) & (SA < n)).all(), 'SA out of range'
+    # first characters non-decreasing
+    assert (T[SA[:-1]] <= T[SA[1:]]).all(), 'first chars out of order'
+    # induced position check
+    C = [0] * 256
+    for i in range(n):
+        C[T[i]] += 1
+    p = 0
+    for i in range(256):
+        t = C[i]
+        C[i] = p
+        p += t
+    q = C[T[n - 1]]
+    C[T[n - 1]] += 1
+    for i in range(n):
+        p = SA[i]
+        if p > 0:
+            p -= 1
+            c = T[p]
+            t = C[c]
+        else:
+            p = n - 1
+            c = T[p]
+            t = q
+        assert t >= 0 and p == SA[t], 'suffix in wrong position'
+        if t != q:
+            C[c] += 1
+            if n <= C[c] or T[SA[C[c]]] != c:
+                C[c] = -1
+    return 0
+
+
+CYCLIC_CASES = [
+    ("bcababa", "cbbaaab", 5),
+    ("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "ZABCDEFGHIJKLMNOPQRSTUVWXY", 0),
+    ("ZYXWVUTSRQPONMLKJIHGFEDCBA", "BCDEFGHIJKLMNOPQRSTUVWXYZA", 25),
+    ('SIX.MIXED.PIXIES.SIFT.SIXTY.PIXIE.DUST.BOXES',
+     'TEXYDST.E.IXIXIXXSSMPPS.B..E.S.EUSFXDIIOIIIT', 29),
+]
+
+
+@pytest.mark.parametrize('inp,out,idx', CYCLIC_CASES)
+def test_bwtransform2_vectors(inp, out, idx):
+    T = np.frombuffer(inp.encode('ascii'), dtype=np.uint8)
+    U = np.zeros(len(T), dtype=np.uint8)
+    pidx = bwt.bwtransform2(T, U, len(T), 256)
+    assert U.tobytes().decode('ascii') == out
+    assert pidx == idx
+
+
+def test_bwtransform2_mary():
+    # jbzip2 repeated-text case (test/bwtest.js:61-78)
+    s = ("Mary had a little lamb, its fleece was white as snow" * 8 +
+         "Nary had a little lamb, its fleece was white as snow")
+    T = np.frombuffer(s.encode('ascii'), dtype=np.uint8)
+    U = np.zeros(len(T), dtype=np.uint8)
+    pidx = bwt.bwtransform2(T, U, len(T), 256)
+    assert pidx == 99
+    rec = bwt.inverse_bwt_cyclic(U, len(T), pidx)
+    assert rec.tobytes() == T.tobytes()
+
+
+def test_bwtransform2_periodic():
+    # exact tie-break check on a fully periodic string
+    T = np.frombuffer(b'abab', dtype=np.uint8)
+    U = np.zeros(4, dtype=np.uint8)
+    pidx = bwt.bwtransform2(T, U, 4, 256)
+    # rotations sorted: ab(2) ab(0) ba(3) ba(1) -> last chars b b a a
+    assert U.tobytes() == b'bbaa'
+    assert pidx == 1
+    rec = bwt.inverse_bwt_cyclic(U, 4, pidx)
+    assert rec.tobytes() == b'abab'
+
+
+@pytest.mark.parametrize('name', ['sample0', 'sample1', 'sample2', 'sample3'])
+def test_suffix_sort_samples(name, ref_samples):
+    T = np.frombuffer(ref_samples[name], dtype=np.uint8)
+    n = len(T)
+    SA = np.zeros(n, dtype=np.int32)
+    bwt.suffixsort(T, SA, n, 256)
+    sufcheck(T, SA, n)
+
+
+@pytest.mark.parametrize('name', ['sample0', 'sample1', 'sample2', 'sample3',
+                                  'sample4'])
+def test_bwt_roundtrip_samples(name, ref_samples):
+    T = np.frombuffer(ref_samples[name], dtype=np.uint8)
+    n = len(T)
+    U = np.zeros(n, dtype=np.uint8)
+    V = np.zeros(n, dtype=np.uint8)
+    A = np.zeros(n, dtype=np.int32)
+    pidx = bwt.bwtransform(T, U, A, n, 256)
+    bwt.unbwtransform(U, V, A, n, pidx)
+    assert V.tobytes() == T.tobytes()
+
+
+def test_cyclic_roundtrip_random():
+    rng = np.random.RandomState(3)
+    for n in [1, 2, 3, 5, 17, 256, 1000]:
+        T = rng.randint(0, 8, size=n).astype(np.uint8)
+        U = np.zeros(n, dtype=np.uint8)
+        pidx = bwt.bwtransform2(T, U, n, 256)
+        rec = bwt.inverse_bwt_cyclic(U, n, pidx)
+        assert rec.tobytes() == T.tobytes(), n
