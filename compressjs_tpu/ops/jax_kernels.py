@@ -1,0 +1,245 @@
+"""Device (XLA/TPU) kernels for the block-compression pipeline.
+
+These are the jittable, fixed-shape builds of the transform stages:
+
+* `cyclic_ranks` / `cyclic_suffix_sort` — prefix-doubling rotation sort:
+  log2(n) rounds of two-key `lax.sort` + rank compression.  This replaces
+  the reference's sequential SA-IS (BWT.js:197-300), whose induced-
+  scatter chains cannot be vectorized; sorting is what the TPU does at
+  full HBM bandwidth.
+* `mtf_encode` — chunked move-to-front: per-chunk start states are
+  reconstructed from an associative recency merge (a tiny scan over
+  chunks), then all chunks run the 256-wide position-update scan in
+  parallel (vmap over chunks inside a `lax.scan` over chunk length).
+* `rle2_encode` — RUNA/RUNB zero-run digits via segment math, fixed
+  shape with a valid-count.
+* `payload_bits` — per-symbol (len, code) gather, bit expansion, and
+  offset assignment for the Huffman payload.
+
+All shapes are static; ragged results carry explicit counts so the
+multi-chip path (compressjs_tpu.parallel) can shard blocks with
+`shard_map` and gather `(bits, nbits)` pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# suffix sort (cyclic, for bzip2)
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cyclic_suffix_sort(block, n):
+    """Sorted rotation start indices of block[0:n] (uint8), ties broken by
+    descending index (matching the doubled-string construction the
+    reference uses, BWT.js:372-417)."""
+    rank = block[:n].astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+    def round_body(rank, k):
+        rank2 = jnp.roll(rank, -k)
+        # two-key stable sort; carried index gives the permutation
+        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
+        diff = jnp.ones(n, dtype=jnp.int32)
+        diff = diff.at[1:].set(
+            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
+        new_rank = jnp.zeros(n, dtype=jnp.int32)
+        new_rank = new_rank.at[order].set(jnp.cumsum(diff) - 1)
+        return new_rank
+
+    k = 1
+    for _ in range(rounds):
+        rank = round_body(rank, k)
+        k = min(k * 2, n)
+    # final order: (rank asc, index desc)
+    _, _, order = lax.sort((rank, -idx, idx), num_keys=2)
+    return order
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bwt_from_order(block, n, order=None):
+    """Cyclic BWT output and pidx given the sorted rotation order."""
+    if order is None:
+        order = cyclic_suffix_sort(block, n)
+    U = block[(order - 1) % n]
+    pidx = jnp.argmax(order == 0).astype(jnp.int32)
+    return U, pidx
+
+
+# ---------------------------------------------------------------------------
+# move-to-front
+
+def _chunk_start_positions(chunks, n_chunks, chunk_len):
+    """Start-state symbol positions for every chunk.
+
+    After a chunk is processed, the MTF list is (chunk's distinct symbols,
+    most-recent first) followed by the prior list's remaining symbols in
+    order.  That merge is computed per chunk from last-occurrence indices,
+    then folded left-to-right with a small scan over chunks."""
+    # last occurrence of each symbol within each chunk (-1 if absent)
+    pos_in_chunk = jnp.broadcast_to(
+        jnp.arange(chunk_len, dtype=jnp.int32), (n_chunks, chunk_len))
+    last_occ = jnp.full((n_chunks, 256), -1, dtype=jnp.int32)
+    last_occ = last_occ.at[
+        jnp.arange(n_chunks, dtype=jnp.int32)[:, None], chunks
+    ].max(pos_in_chunk)
+
+    def merge(pos, last):
+        """pos: (256,) symbol->position before this chunk; last: (256,)
+        chunk last-occurrence indices.  After the chunk, its symbols sit
+        at the front ordered by recency, survivors follow in prior
+        order."""
+        in_chunk = last >= 0
+        n_in = jnp.sum(in_chunk.astype(jnp.int32))
+        big = jnp.int32(1) << 24
+        rank_in = _rank_of(jnp.where(in_chunk, -last, big))
+        rank_surv = _rank_of(jnp.where(in_chunk, big, pos))
+        new_pos = jnp.where(in_chunk, rank_in, n_in + rank_surv)
+        return new_pos, pos
+
+    init = jnp.arange(256, dtype=jnp.int32)  # identity: alphabet order
+    _, starts = lax.scan(merge, init, last_occ)
+    return starts  # (n_chunks, 256): position of each symbol at chunk start
+
+
+def _rank_of(keys):
+    """Rank (0-based) of each element under ascending stable sort."""
+    order = jnp.argsort(keys, stable=True)
+    ranks = jnp.zeros_like(order)
+    return ranks.at[order].set(jnp.arange(keys.shape[0], dtype=order.dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mtf_encode(data, n, chunk_len=2048):
+    """MTF indices of data[:n] (dense uint8 symbols) with the identity
+    initial list.  Parallel across n/chunk_len chunks; each scan step
+    updates all chunks' 256-entry position tables at once."""
+    n_chunks = -(-n // chunk_len)
+    padded = n_chunks * chunk_len
+    # pad with symbol 0 (harmless: outputs past n are discarded)
+    d = jnp.zeros(padded, dtype=jnp.int32)
+    d = d.at[:n].set(data[:n].astype(jnp.int32))
+    chunks = d.reshape(n_chunks, chunk_len)
+
+    starts = _chunk_start_positions(chunks, n_chunks, chunk_len)
+
+    def step(pos, syms):
+        # pos: (n_chunks, 256); syms: (n_chunks,) this step's symbol
+        j = jnp.take_along_axis(pos, syms[:, None], axis=1)[:, 0]
+        bump = (pos < j[:, None]).astype(jnp.int32)
+        pos = pos + bump
+        pos = pos.at[jnp.arange(n_chunks), syms].set(0)
+        return pos, j
+
+    _, outs = lax.scan(step, starts, chunks.T)  # scan over chunk_len
+    return outs.T.reshape(padded)[:n]
+
+
+# ---------------------------------------------------------------------------
+# RLE2 (RUNA/RUNB) symbol stream
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def encode_block_core(block, n, remap, eob):
+    """Fused device path for one bzip2 block: cyclic BWT -> dense-alphabet
+    remap -> MTF -> RLE2.  Returns (pidx, syms, count, freq).
+
+    `remap` maps byte values to dense used-alphabet indices (host-computed
+    u8[256]); `eob` is the end-of-block symbol (traced scalar)."""
+    order = cyclic_suffix_sort(block, n)
+    U = block[:n][(order - 1) % n]
+    pidx = jnp.argmax(order == 0).astype(jnp.int32)
+    dense = remap[U.astype(jnp.int32)]
+    mtf_seq = mtf_encode(dense, n)
+    syms, count, freq = rle2_encode(mtf_seq, n, eob)
+    return pidx, syms, count, freq
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def rle2_encode(mtf_seq, n, eob):
+    """bzip2 symbol stream from MTF indices: zero runs become bijective
+    base-2 RUNA/RUNB digits (digit i of run length L = bit i of L+1,
+    digit count = fls(L+1)-1), value j becomes symbol j+1, then EOB.
+    Returns (syms[n+1] padded with eob, count, freq[260])."""
+    seq = mtf_seq[:n].astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_zero = seq == 0
+    # first index of the current zero run = 1 + last nonzero position
+    marker = jnp.where(~is_zero, idx + 1, 0)
+    run_start = lax.associative_scan(jnp.maximum, marker)
+    # a zero run ends where the next symbol is nonzero (or at n-1)
+    nxt_nonzero = jnp.concatenate(
+        [seq[1:] != 0, jnp.ones(1, dtype=jnp.bool_)])
+    run_end = is_zero & nxt_nonzero
+    run_len = jnp.where(run_end, idx - run_start + 1, 0)
+    # digit count = bit_length(L+1) - 1, integer-exact via comparisons
+    pow2 = (jnp.int32(1) << jnp.arange(1, 22, dtype=jnp.int32))
+    k_digits = jnp.sum((run_len[:, None] + 1) >= pow2[None, :],
+                       axis=1).astype(jnp.int32)
+    k_digits = jnp.where(run_end, k_digits, 0)
+
+    out_count = jnp.where(is_zero, k_digits, 1)
+    offsets = jnp.cumsum(out_count) - out_count
+    total = jnp.sum(out_count)
+
+    syms = jnp.full(n + 2, eob, dtype=jnp.int32)
+    # literals j -> j+1 at their offsets
+    syms = syms.at[jnp.where(~is_zero, offsets, n + 1)].set(
+        jnp.where(~is_zero, seq + 1, eob), mode='drop')
+    # run digits: digit j of the run ending at i lands at offsets[i]+j
+    max_digits = 21
+    dig = jnp.arange(max_digits, dtype=jnp.int32)
+    dvalid = run_end[:, None] & (dig[None, :] < k_digits[:, None])
+    dvals = (((run_len[:, None] + 1) >> dig[None, :]) & 1)
+    dpos = jnp.where(dvalid, offsets[:, None] + dig[None, :], n + 1)
+    syms = syms.at[dpos.reshape(-1)].set(
+        jnp.where(dvalid, dvals, eob).reshape(-1).astype(jnp.int32),
+        mode='drop')
+    syms = syms.at[total].set(eob)
+    count = total + 1
+    syms = syms[:n + 1]
+    # histogram; positions >= count hold eob padding — subtract it
+    freq = jnp.bincount(syms, length=260)
+    freq = freq.at[eob].add(-((n + 1) - count))
+    return syms, count, freq
+
+
+# ---------------------------------------------------------------------------
+# Huffman payload bit assignment
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def payload_bit_layout(syms, count, sel_per_sym_lengths, max_code_bits=20):
+    """Bit offsets for each symbol's code: exclusive cumsum of lengths,
+    masked to the valid prefix.  Returns (offsets, total_bits)."""
+    n = syms.shape[0]
+    valid = jnp.arange(n) < count
+    lens = jnp.where(valid, sel_per_sym_lengths, 0)
+    offsets = jnp.cumsum(lens) - lens
+    return offsets, jnp.sum(lens)
+
+
+@jax.jit
+def payload_bits(syms, count, lens, codes):
+    """Expand (code, len) pairs into a packed uint8 bit array.
+    lens/codes: per-symbol gathered values.  Output is sized for the worst
+    case (n*20 bits); callers slice to total_bits."""
+    n = syms.shape[0]
+    valid = jnp.arange(n) < count
+    lens = jnp.where(valid, lens, 0)
+    offsets = jnp.cumsum(lens) - lens
+    total = jnp.sum(lens)
+    max_bits = n * 20
+    t = jnp.arange(20, dtype=jnp.int32)
+    shifts = lens[:, None] - 1 - t[None, :]
+    bit_valid = shifts >= 0
+    bits = ((codes[:, None] >> jnp.maximum(shifts, 0)) & 1).astype(jnp.uint8)
+    positions = jnp.where(bit_valid, offsets[:, None] + t[None, :], max_bits)
+    out = jnp.zeros(max_bits + 1, dtype=jnp.uint8)
+    out = out.at[positions.reshape(-1)].set(bits.reshape(-1), mode='drop')
+    return out[:max_bits], total

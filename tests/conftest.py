@@ -11,6 +11,12 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize registers the TPU backend in every interpreter and
+# wins over JAX_PLATFORMS; the config update below reliably pins tests to
+# the virtual-device CPU mesh.
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+
 import pytest  # noqa: E402
 
 REF_TEST_DIR = '/root/reference/test'
