@@ -25,6 +25,11 @@ from ..ops import mtf as mtf_ops
 from ..ops import rle as rle_ops
 from ..ops import huffman_stages as hs
 from ..utils.crc32 import crc32_bzip2, stream_crc_combine
+
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
 from ..utils.stream import (ArrayInputStream, BitStream, BufferStream,
                             coerce_input_stream, coerce_output_stream, EOF)
 
@@ -116,8 +121,9 @@ def compress_block_bits(block):
     header.append(hs.selector_mtf_bits(selectors, n_groups))
     for g in range(n_groups):
         header.append(hs.emit_table_deltas(length_matrix[g]))
-    header.append(hs.payload_bits(syms, selectors, length_matrix,
-                                  code_matrix))
+    payload, total_bits = hs.payload_bytes(syms, selectors, length_matrix,
+                                           code_matrix)
+    header.append(np.unpackbits(payload, count=total_bits))
     return header.bits()
 
 
@@ -310,7 +316,34 @@ def _read_block_header(r, dbuf_size):
             lengths[i] = t
         groups.append(_decode_tables(lengths, sym_count))
 
-    # symbol decode loop (RLE2+MTF undo into dbuf)
+    # symbol decode loop (RLE2+MTF undo into dbuf); the native runtime
+    # runs this canonical-Huffman walk at C speed when present
+    if _native is not None and _native.available():
+        g = len(groups)
+        minlen = np.array([grp[0] for grp in groups], dtype=np.int32)
+        maxlen = np.array([grp[1] for grp in groups], dtype=np.int32)
+        limit = np.zeros((g, 25), dtype=np.int64)
+        base = np.zeros((g, 22), dtype=np.int64)
+        permute = np.zeros((g, 258), dtype=np.int32)
+        for i, grp in enumerate(groups):
+            limit[i, :len(grp[2])] = grp[2]
+            base[i, :len(grp[3])] = grp[3]
+            permute[i, :len(grp[4])] = grp[4]
+        data_arr = np.frombuffer(r.data, dtype=np.uint8)
+        s2b = np.zeros(256, dtype=np.uint8)
+        s2b[:sym_total] = sym_to_byte
+        try:
+            dbuf, newpos = _native.bz2_decode_block(
+                data_arr, r.pos, np.array(selectors, dtype=np.uint8),
+                minlen, maxlen, limit, base, permute, sym_total, s2b,
+                dbuf_size)
+        except ValueError:
+            _throw(Err.DATA_ERROR)
+        r.pos = newpos
+        if orig_pointer < 0 or orig_pointer >= dbuf.shape[0]:
+            _throw(Err.DATA_ERROR)
+        return dbuf, orig_pointer, target_crc
+
     dbuf = np.empty(dbuf_size, dtype=np.uint8)
     byte_count = np.zeros(256, dtype=np.int64)
     mtf_syms = list(range(256))
@@ -410,8 +443,13 @@ def _decode_one_block(r, dbuf_size):
     if res is None:
         return None
     dbuf, orig_pointer, target_crc = res
-    packed = bwt_ops.inverse_bwt_cyclic(dbuf, dbuf.shape[0], orig_pointer)
-    out = rle_ops.rle1_decode(packed)
+    if _native is not None and _native.available():
+        packed = _native.inverse_bwt(dbuf, orig_pointer)
+        out = _native.rle1_decode(packed, packed.shape[0] * 256 + 256)
+    else:
+        packed = bwt_ops.inverse_bwt_cyclic(dbuf, dbuf.shape[0],
+                                            orig_pointer)
+        out = rle_ops.rle1_decode(packed)
     crc = crc32_bzip2(out)
     if crc != target_crc:
         _throw(Err.DATA_ERROR,

@@ -1,0 +1,159 @@
+"""ctypes bindings for the native host runtime (core.cpp).
+
+Built on demand with g++ (cached as libcompressjs_native.so next to the
+source; rebuilt when core.cpp is newer).  All entry points degrade
+gracefully: `available()` is False if no compiler is present and callers
+fall back to the numpy/Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, 'core.cpp')
+_SO = os.path.join(_DIR, 'libcompressjs_native.so')
+
+_lib = None
+_lock = threading.Lock()
+_build_error = None
+
+_i64 = ctypes.c_int64
+_p_u8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags='C_CONTIGUOUS')
+_p_i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags='C_CONTIGUOUS')
+_p_i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags='C_CONTIGUOUS')
+
+
+def _build():
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+           '-std=c++17', '-o', _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except Exception as e:  # no compiler / load failure
+            _build_error = e
+            return None
+        lib.cz_suffix_sort.argtypes = [_p_u8, _p_i64, _i64]
+        lib.cz_bwt_cyclic.argtypes = [_p_u8, _p_u8, _i64]
+        lib.cz_bwt_cyclic.restype = _i64
+        lib.cz_bwt_eof.argtypes = [_p_u8, _p_u8, _i64]
+        lib.cz_bwt_eof.restype = _i64
+        lib.cz_mtf_encode.argtypes = [_p_u8, _i64, _p_u8, ctypes.c_int32,
+                                      _p_i32]
+        lib.cz_mtf_decode.argtypes = [_p_i32, _i64, _p_u8, ctypes.c_int32,
+                                      _p_u8]
+        lib.cz_bz2_decode_block.argtypes = [
+            _p_u8, _i64, ctypes.POINTER(_i64), _p_u8, _i64,
+            _p_i32, _p_i32, _p_i64, _p_i64, _p_i32,
+            ctypes.c_int32, _p_u8, _p_u8, _i64]
+        lib.cz_bz2_decode_block.restype = _i64
+        lib.cz_inverse_bwt.argtypes = [_p_u8, _i64, _i64, _p_u8]
+        lib.cz_rle1_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
+        lib.cz_rle1_decode.restype = _i64
+        _lib = lib
+        return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def suffix_sort(T):
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    SA = np.empty(T.shape[0], dtype=np.int64)
+    lib.cz_suffix_sort(T, SA, T.shape[0])
+    return SA
+
+
+def bwt_cyclic(T):
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    U = np.empty(T.shape[0], dtype=np.uint8)
+    pidx = lib.cz_bwt_cyclic(T, U, T.shape[0])
+    return U, int(pidx)
+
+
+def bwt_eof(T):
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    U = np.empty(T.shape[0], dtype=np.uint8)
+    pidx = lib.cz_bwt_eof(T, U, T.shape[0])
+    return U, int(pidx)
+
+
+def mtf_encode(data, alphabet):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    alphabet = np.ascontiguousarray(alphabet, dtype=np.uint8)
+    out = np.empty(data.shape[0], dtype=np.int32)
+    lib.cz_mtf_encode(data, data.shape[0], alphabet,
+                      np.int32(alphabet.shape[0]), out)
+    return out
+
+
+def mtf_decode(indices, alphabet):
+    lib = _load()
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    alphabet = np.ascontiguousarray(alphabet, dtype=np.uint8)
+    out = np.empty(indices.shape[0], dtype=np.uint8)
+    lib.cz_mtf_decode(indices, indices.shape[0], alphabet,
+                      np.int32(alphabet.shape[0]), out)
+    return out
+
+
+def bz2_decode_block(data, bitpos, selectors, minlen, maxlen, limit, base,
+                     permute, sym_total, sym_to_byte, dbuf_size):
+    """Returns (dbuf, new_bitpos) or raises ValueError on data error."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dbuf = np.empty(dbuf_size, dtype=np.uint8)
+    pos = _i64(bitpos)
+    r = lib.cz_bz2_decode_block(
+        data, data.shape[0], ctypes.byref(pos),
+        np.ascontiguousarray(selectors, dtype=np.uint8),
+        len(selectors),
+        np.ascontiguousarray(minlen, dtype=np.int32),
+        np.ascontiguousarray(maxlen, dtype=np.int32),
+        np.ascontiguousarray(limit, dtype=np.int64),
+        np.ascontiguousarray(base, dtype=np.int64),
+        np.ascontiguousarray(permute, dtype=np.int32),
+        np.int32(sym_total),
+        np.ascontiguousarray(sym_to_byte, dtype=np.uint8),
+        dbuf, dbuf_size)
+    if r < 0:
+        raise ValueError('Data error')
+    return dbuf[:r], int(pos.value)
+
+
+def inverse_bwt(U, pidx):
+    lib = _load()
+    U = np.ascontiguousarray(U, dtype=np.uint8)
+    out = np.empty(U.shape[0], dtype=np.uint8)
+    lib.cz_inverse_bwt(U, U.shape[0], pidx, out)
+    return out
+
+
+def rle1_decode(block, out_cap):
+    lib = _load()
+    block = np.ascontiguousarray(block, dtype=np.uint8)
+    out = np.empty(out_cap, dtype=np.uint8)
+    r = lib.cz_rle1_decode(block, block.shape[0], out, out_cap)
+    if r < 0:
+        raise ValueError('RLE1 output overflow')
+    return out[:r]

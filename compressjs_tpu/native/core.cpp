@@ -1,0 +1,375 @@
+// Native host runtime for compressjs_tpu.
+//
+// The TPU owns the block-transform compute path (JAX/XLA kernels); this
+// library is the native host runtime around it: the strictly-sequential
+// byte/bit loops that neither numpy nor XLA can vectorize — suffix-array
+// induced sorting, MTF list updates, RLE1 state machines, and the bzip2
+// canonical-Huffman symbol decode.  Exposed as a C ABI consumed via
+// ctypes (compressjs_tpu/native/__init__.py).
+//
+// The SA-IS construction follows the standard induced-sorting algorithm
+// (Nong/Zhang/Chan; same family as the reference's BWT.js) but is an
+// independent implementation.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// SA-IS suffix array construction over an integer alphabet.
+//
+// T: input of length n over [0, K).  SA: output length n.
+// Memory: uses internal buffers; recursion halves the problem size.
+
+template <typename CharT>
+void count_chars(const CharT* T, int64_t n, int64_t K, int64_t* cnt) {
+  std::fill(cnt, cnt + K, 0);
+  for (int64_t i = 0; i < n; i++) cnt[T[i]]++;
+}
+
+template <typename CharT>
+void bucket_heads(const int64_t* cnt, int64_t K, int64_t* bkt) {
+  int64_t sum = 0;
+  for (int64_t c = 0; c < K; c++) { bkt[c] = sum; sum += cnt[c]; }
+}
+
+template <typename CharT>
+void bucket_tails(const int64_t* cnt, int64_t K, int64_t* bkt) {
+  int64_t sum = 0;
+  for (int64_t c = 0; c < K; c++) { sum += cnt[c]; bkt[c] = sum; }
+}
+
+// stype[i] = true if suffix i is S-type
+template <typename CharT>
+void classify(const CharT* T, int64_t n, std::vector<bool>& stype) {
+  stype.assign(n, false);
+  stype[n - 1] = true;  // sentinel position (virtual $ handled by caller)
+  for (int64_t i = n - 2; i >= 0; i--)
+    stype[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && stype[i + 1]);
+}
+
+inline bool is_lms(const std::vector<bool>& stype, int64_t i) {
+  return i > 0 && stype[i] && !stype[i - 1];
+}
+
+template <typename CharT>
+void induce(const CharT* T, int64_t* SA, int64_t n, int64_t K,
+            const int64_t* cnt, const std::vector<bool>& stype,
+            std::vector<int64_t>& bkt) {
+  // L-type pass (left to right, bucket heads)
+  bucket_heads<CharT>(cnt, K, bkt.data());
+  // virtual sentinel suffix induces T[n-1]
+  {
+    int64_t j = n - 1;
+    if (!stype[j]) SA[bkt[T[j]]++] = j;
+    else { /* placed in S pass */ }
+  }
+  // the sentinel's predecessor is n-1; handle by seeding above, then scan
+  for (int64_t i = 0; i < n; i++) {
+    int64_t j = SA[i];
+    if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+  }
+  // S-type pass (right to left, bucket tails)
+  bucket_tails<CharT>(cnt, K, bkt.data());
+  for (int64_t i = n - 1; i >= 0; i--) {
+    int64_t j = SA[i];
+    if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
+  }
+}
+
+template <typename CharT>
+void sais_core(const CharT* T, int64_t* SA, int64_t n, int64_t K) {
+  if (n == 1) { SA[0] = 0; return; }
+  std::vector<bool> stype;
+  classify(T, n, stype);
+  std::vector<int64_t> cnt(K), bkt(K);
+  count_chars(T, n, K, cnt.data());
+
+  // step 1: place LMS suffixes at bucket tails, induce-sort LMS substrings
+  std::fill(SA, SA + n, -1);
+  bucket_tails<CharT>(cnt.data(), K, bkt.data());
+  for (int64_t i = n - 1; i >= 1; i--)
+    if (is_lms(stype, i)) SA[--bkt[T[i]]] = i;
+  induce(T, SA, n, K, cnt.data(), stype, bkt);
+
+  // step 2: name LMS substrings in sorted order
+  std::vector<int64_t> lms_order;
+  lms_order.reserve(n / 2 + 1);
+  for (int64_t i = 0; i < n; i++)
+    if (SA[i] > 0 && is_lms(stype, SA[i])) lms_order.push_back(SA[i]);
+  // map position -> compact LMS index
+  std::vector<int64_t> lms_pos;
+  for (int64_t i = 1; i < n; i++)
+    if (is_lms(stype, i)) lms_pos.push_back(i);
+  int64_t m = (int64_t)lms_pos.size();
+  std::vector<int64_t> name_of(n, -1);
+  int64_t names = 0;
+  int64_t prev = -1;
+  for (int64_t r = 0; r < (int64_t)lms_order.size(); r++) {
+    int64_t p = lms_order[r];
+    if (prev < 0) { name_of[p] = names; prev = p; continue; }
+    // compare LMS substrings at prev and p
+    bool same = true;
+    for (int64_t d = 0;; d++) {
+      bool pl = is_lms(stype, p + d), ql = is_lms(stype, prev + d);
+      if (d > 0 && (pl || ql)) { same = pl && ql; break; }
+      if (p + d >= n || prev + d >= n) { same = false; break; }
+      if (T[p + d] != T[prev + d] || stype[p + d] != stype[prev + d]) {
+        same = false; break;
+      }
+    }
+    if (!same) names++;
+    name_of[p] = names;
+    prev = p;
+  }
+  names++;
+
+  // step 3: solve the reduced problem
+  std::vector<int64_t> reduced(m), red_sa(m);
+  for (int64_t i = 0; i < m; i++) reduced[i] = name_of[lms_pos[i]];
+  if (names < m) {
+    sais_core(reduced.data(), red_sa.data(), m, names);
+  } else {
+    for (int64_t i = 0; i < m; i++) red_sa[reduced[i]] = i;
+  }
+
+  // step 4: place LMS suffixes in final order, induce everything
+  std::fill(SA, SA + n, -1);
+  bucket_tails<CharT>(cnt.data(), K, bkt.data());
+  for (int64_t i = m - 1; i >= 0; i--) {
+    int64_t p = lms_pos[red_sa[i]];
+    SA[--bkt[T[p]]] = p;
+  }
+  induce(T, SA, n, K, cnt.data(), stype, bkt);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of T[0..n-1] (EOF-terminated semantics: shorter suffixes
+// that are prefixes sort first — matching a virtual sentinel < all).
+void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
+  if (n <= 0) return;
+  if (n == 1) { SA[0] = 0; return; }
+  // append a virtual sentinel by shifting the alphabet up by one
+  std::vector<int64_t> T2(n + 1);
+  for (int64_t i = 0; i < n; i++) T2[i] = (int64_t)T[i] + 1;
+  T2[n] = 0;
+  std::vector<int64_t> SA2(n + 1);
+  sais_core(T2.data(), SA2.data(), n + 1, 257);
+  // SA2[0] is the sentinel suffix; drop it
+  for (int64_t i = 0; i < n; i++) SA[i] = SA2[i + 1];
+}
+
+// Cyclic BWT via doubled string (ties: larger start index first).
+// Returns pidx.
+int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
+  if (n <= 0) return 0;
+  if (n == 1) { U[0] = T[0]; return 0; }
+  std::vector<uint8_t> TT(2 * n);
+  std::memcpy(TT.data(), T, n);
+  std::memcpy(TT.data() + n, T, n);
+  std::vector<int64_t> SA(2 * n);
+  cz_suffix_sort(TT.data(), SA.data(), 2 * n);
+  int64_t j = 0, pidx = 0;
+  for (int64_t i = 0; i < 2 * n; i++) {
+    int64_t s = SA[i];
+    if (s < n) {
+      if (s == 0) pidx = j;
+      U[j++] = T[(s + n - 1) % n];
+    }
+  }
+  return pidx;
+}
+
+// EOF-terminated BWT (reference bwtransform contract): U[0]=T[n-1], the
+// suffix-0 slot is skipped; returns pidx+1.
+int64_t cz_bwt_eof(const uint8_t* T, uint8_t* U, int64_t n) {
+  if (n <= 0) return 0;
+  if (n == 1) { U[0] = T[0]; return 1; }
+  std::vector<int64_t> SA(n);
+  cz_suffix_sort(T, SA.data(), n);
+  int64_t pidx = 0;
+  for (int64_t i = 0; i < n; i++) if (SA[i] == 0) { pidx = i; break; }
+  U[0] = T[n - 1];
+  for (int64_t i = 0; i < pidx; i++) U[i + 1] = T[SA[i] - 1];
+  for (int64_t i = pidx + 1; i < n; i++) U[i] = T[SA[i] - 1];
+  return pidx + 1;
+}
+
+// MTF encode over a dense alphabet list (alphabet[0..asize) initial order)
+void cz_mtf_encode(const uint8_t* data, int64_t n, const uint8_t* alphabet,
+                   int32_t asize, int32_t* out) {
+  uint8_t list[256];
+  std::memcpy(list, alphabet, asize);
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = data[i];
+    int32_t j = 0;
+    while (list[j] != c) j++;
+    out[i] = j;
+    if (j) {
+      std::memmove(list + 1, list, j);
+      list[0] = c;
+    }
+  }
+}
+
+void cz_mtf_decode(const int32_t* idx, int64_t n, const uint8_t* alphabet,
+                   int32_t asize, uint8_t* out) {
+  uint8_t list[256];
+  std::memcpy(list, alphabet, asize);
+  for (int64_t i = 0; i < n; i++) {
+    int32_t j = idx[i];
+    uint8_t c = list[j];
+    out[i] = c;
+    if (j) {
+      std::memmove(list + 1, list, j);
+      list[0] = c;
+    }
+  }
+}
+
+// bzip2 hot decode loop: canonical-Huffman symbol walk + MTF + RLE2 undo.
+// Bit source: data/bitpos (MSB-first).  Tables are per group:
+//   minlen/maxlen: int32[ngroups]
+//   limit:  int64[ngroups][25]
+//   base:   int64[ngroups][22]
+//   permute:int32[ngroups][258]
+// Returns dbuf_count (>=0) or -1 on data error.  *bitpos_io is updated.
+int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
+                            int64_t* bitpos_io,
+                            const uint8_t* selectors, int64_t nsel,
+                            const int32_t* minlen, const int32_t* maxlen,
+                            const int64_t* limit, const int64_t* base,
+                            const int32_t* permute,
+                            int32_t sym_total, const uint8_t* sym_to_byte,
+                            uint8_t* dbuf, int64_t dbuf_size) {
+  int64_t bitpos = *bitpos_io;
+  int64_t total_bits = data_len * 8;
+  // bit reader: 64-bit cache
+  uint64_t cache = 0;
+  int cached = 0;
+  int64_t bytep = bitpos >> 3;
+  int skip = (int)(bitpos & 7);
+  auto refill = [&](int need) {
+    while (cached < need) {
+      uint64_t b = bytep < data_len ? data[bytep] : 0;
+      bytep++;
+      cache = (cache << 8) | b;
+      cached += 8;
+    }
+  };
+  if (skip) { refill(skip); cached -= skip; }
+  auto read_bits = [&](int nb) -> int64_t {
+    refill(nb);
+    cached -= nb;
+    return (int64_t)((cache >> cached) & ((1ULL << nb) - 1));
+  };
+
+  uint8_t mtf[256];
+  for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
+  int64_t dbuf_count = 0;
+  int64_t run_pos = 0, t_acc = 0;
+  int64_t selector_idx = 0;
+  int sym_budget = 0;
+  const int64_t* glimit = nullptr;
+  const int64_t* gbase = nullptr;
+  const int32_t* gperm = nullptr;
+  int gmin = 0, gmax = 0;
+
+  for (;;) {
+    if (!sym_budget) {
+      sym_budget = 50;
+      if (selector_idx >= nsel) return -1;
+      int g = selectors[selector_idx++];
+      glimit = limit + g * 25;
+      gbase = base + g * 22;
+      gperm = permute + g * 258;
+      gmin = minlen[g];
+      gmax = maxlen[g];
+    }
+    sym_budget--;
+    int i = gmin;
+    int64_t j = read_bits(i);
+    while (j > glimit[i]) {
+      i++;
+      if (i > gmax) return -1;
+      j = (j << 1) | read_bits(1);
+    }
+    j -= gbase[i];
+    if (j < 0 || j >= 258) return -1;
+    int32_t next_sym = gperm[j];
+    if (next_sym <= 1) {  // RUNA / RUNB
+      if (!run_pos) { run_pos = 1; t_acc = 0; }
+      t_acc += (next_sym == 0) ? run_pos : 2 * run_pos;
+      run_pos <<= 1;
+      continue;
+    }
+    if (run_pos) {
+      run_pos = 0;
+      if (dbuf_count + t_acc > dbuf_size) return -1;
+      uint8_t uc = sym_to_byte[mtf[0]];
+      std::memset(dbuf + dbuf_count, uc, t_acc);
+      dbuf_count += t_acc;
+    }
+    if (next_sym > sym_total) break;  // EOB
+    if (dbuf_count >= dbuf_size) return -1;
+    int32_t jj = next_sym - 1;
+    uint8_t uc = mtf[jj];
+    std::memmove(mtf + 1, mtf, jj);
+    mtf[0] = uc;
+    uc = sym_to_byte[uc];
+    dbuf[dbuf_count++] = uc;
+    (void)total_bits;
+  }
+  *bitpos_io = (bytep << 3) - cached;
+  return dbuf_count;
+}
+
+// Inverse cyclic BWT: fill out[0..n) from BWT column U and pidx.
+void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
+                    uint8_t* out) {
+  std::vector<int64_t> lf(n);
+  int64_t cnt[256] = {0};
+  for (int64_t i = 0; i < n; i++) lf[i] = cnt[U[i]]++;
+  int64_t starts[256];
+  int64_t sum = 0;
+  for (int c = 0; c < 256; c++) { starts[c] = sum; sum += cnt[c]; }
+  for (int64_t i = 0; i < n; i++) lf[i] += starts[U[i]];
+  int64_t t = pidx;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    out[i] = U[t];
+    t = lf[t];
+  }
+}
+
+// RLE1 decode: after 4 equal bytes the next byte is an extras count.
+// Returns output length, or -1 if out_cap exceeded.
+int64_t cz_rle1_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t out_cap) {
+  int64_t o = 0;
+  int64_t i = 0;
+  while (i < n) {
+    uint8_t c = in[i];
+    int64_t run = 1;
+    while (i + run < n && run < 4 && in[i + run] == c) run++;
+    if (o + run > out_cap) return -1;
+    std::memset(out + o, c, run);
+    o += run;
+    i += run;
+    if (run == 4) {
+      int64_t extra = (i < n) ? in[i] : 0;
+      if (i < n) i++;
+      if (o + extra > out_cap) return -1;
+      std::memset(out + o, c, extra);
+      o += extra;
+    }
+  }
+  return o;
+}
+
+}  // extern "C"

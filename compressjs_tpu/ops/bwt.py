@@ -18,6 +18,15 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _use_native():
+    return _native is not None and _native.available()
+
 
 def suffix_array(T, n=None):
     """Suffix array of T[0..n-1] (uint8/int array), treating the string as
@@ -104,6 +113,9 @@ def cyclic_suffix_array(T, n=None):
 
 def suffixsort(T, SA, n, alphabet_size=256):
     """Fill SA[0..n-1] with the suffix array of T.  Returns 0."""
+    if _use_native() and n > 4096:
+        SA[:n] = _native.suffix_sort(np.asarray(T)[:n])
+        return 0
     sa = suffix_array(T, n)
     SA[:n] = sa
     return 0
@@ -118,6 +130,10 @@ def bwtransform(T, U, A, n, alphabet_size=256):
         if n == 1:
             U[0] = T[0]
         return n
+    if _use_native() and n > 4096:
+        Un, pidx = _native.bwt_eof(T[:n])
+        U[:n] = Un
+        return pidx
     sa = suffix_array(T, n)
     A[:n] = sa
     pidx = int(np.nonzero(sa == 0)[0][0])
@@ -194,6 +210,10 @@ def bwtransform2(T, U, n, alphabet_size=256):
         if n == 1:
             U[0] = T[0]
         return 0
+    if _use_native() and n > 4096:
+        Un, pidx = _native.bwt_cyclic(T[:n])
+        U[:n] = Un
+        return pidx
     order = cyclic_suffix_array(T, n)
     pidx = int(np.nonzero(order == 0)[0][0])
     U[:n] = T[(order - 1) % n]

@@ -151,6 +151,32 @@ def emit_table_deltas(code_lengths):
     return np.array(bits, dtype=np.uint8)
 
 
+def payload_bytes(syms, selectors, length_matrix, code_matrix):
+    """Huffman payload packed straight into bytes via u64 word assembly:
+    each code (<= 20 bits) lands in at most two consecutive 32-bit output
+    words, so a left-aligned u64 split into hi/lo halves OR-accumulated at
+    the word index packs the whole stream in O(n) without materializing
+    per-bit arrays.  Returns (bytes, total_bits)."""
+    n = syms.shape[0]
+    chunk_of_sym = np.repeat(np.arange(len(selectors)), GROUP_SIZE)[:n]
+    sel = selectors[chunk_of_sym].astype(np.int64)
+    lens = length_matrix[sel, syms].astype(np.int64)
+    codes = code_matrix[sel, syms].astype(np.uint64)
+    offsets = np.cumsum(lens) - lens
+    total = int(offsets[-1] + lens[-1]) if n else 0
+    nwords = (total + 31) // 32 + 1
+    wi = (offsets >> 5).astype(np.int64)
+    bo = (offsets & 31).astype(np.uint64)
+    chunk64 = codes << (np.uint64(64) - bo - lens.astype(np.uint64))
+    hi = (chunk64 >> np.uint64(32)).astype(np.uint32)
+    lo = (chunk64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    words = np.zeros(nwords, dtype=np.uint32)
+    np.bitwise_or.at(words, wi, hi)
+    np.bitwise_or.at(words, wi + 1, lo)
+    out = words.byteswap().view(np.uint8)  # big-endian bit order
+    return out[:(total + 7) // 8], total
+
+
 def payload_bits(syms, selectors, length_matrix, code_matrix):
     """Vectorized Huffman payload emission: per-symbol (len, code) gather,
     expand each code into its bits, compact valid bits.  Returns a uint8

@@ -38,27 +38,42 @@ from jax import lax
 def cyclic_suffix_sort(block, n):
     """Sorted rotation start indices of block[0:n] (uint8), ties broken by
     descending index (matching the doubled-string construction the
-    reference uses, BWT.js:372-417)."""
-    rank = block[:n].astype(jnp.int32)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    reference uses, BWT.js:372-417).
 
-    def round_body(rank, k):
+    Prefix doubling with data-dependent early exit: real data resolves all
+    ranks after ~log2(max repeat length) rounds, far below the log2(n)
+    worst case, so the doubling runs in a lax.while_loop that stops once
+    ranks are unique.  Ranks are seeded from 2-byte digrams (one round of
+    context for free)."""
+    b32 = block[:n].astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # seed: rank by (T[i], T[i+1]) packed into one int32
+    seed = (b32 << 8) | jnp.roll(b32, -1)
+    s1, order0 = lax.sort((seed, idx), num_keys=1)
+    diff0 = jnp.ones(n, dtype=jnp.int32)
+    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
+    rank0 = jnp.zeros(n, dtype=jnp.int32)
+    rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
+
+    def cond(state):
+        rank, k, maxrank = state
+        return (maxrank < n - 1) & (k < n)
+
+    def body(state):
+        rank, k, _ = state
         rank2 = jnp.roll(rank, -k)
-        # two-key stable sort; carried index gives the permutation
         s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
         diff = jnp.ones(n, dtype=jnp.int32)
         diff = diff.at[1:].set(
             ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
+        csum = jnp.cumsum(diff)
         new_rank = jnp.zeros(n, dtype=jnp.int32)
-        new_rank = new_rank.at[order].set(jnp.cumsum(diff) - 1)
-        return new_rank
+        new_rank = new_rank.at[order].set(csum - 1)
+        return new_rank, k * 2, csum[-1] - 1
 
-    k = 1
-    for _ in range(rounds):
-        rank = round_body(rank, k)
-        k = min(k * 2, n)
-    # final order: (rank asc, index desc)
+    rank, _, _ = lax.while_loop(
+        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+    # final order: (rank asc, index desc) — resolves periodic ties
     _, _, order = lax.sort((rank, -idx, idx), num_keys=2)
     return order
 
@@ -76,7 +91,7 @@ def bwt_from_order(block, n, order=None):
 # ---------------------------------------------------------------------------
 # move-to-front
 
-def _chunk_start_positions(chunks, n_chunks, chunk_len):
+def _chunk_start_positions(chunks, n_chunks, chunk_len, width=256):
     """Start-state symbol positions for every chunk.
 
     After a chunk is processed, the MTF list is (chunk's distinct symbols,
@@ -86,7 +101,7 @@ def _chunk_start_positions(chunks, n_chunks, chunk_len):
     # last occurrence of each symbol within each chunk (-1 if absent)
     pos_in_chunk = jnp.broadcast_to(
         jnp.arange(chunk_len, dtype=jnp.int32), (n_chunks, chunk_len))
-    last_occ = jnp.full((n_chunks, 256), -1, dtype=jnp.int32)
+    last_occ = jnp.full((n_chunks, width), -1, dtype=jnp.int32)
     last_occ = last_occ.at[
         jnp.arange(n_chunks, dtype=jnp.int32)[:, None], chunks
     ].max(pos_in_chunk)
@@ -104,9 +119,9 @@ def _chunk_start_positions(chunks, n_chunks, chunk_len):
         new_pos = jnp.where(in_chunk, rank_in, n_in + rank_surv)
         return new_pos, pos
 
-    init = jnp.arange(256, dtype=jnp.int32)  # identity: alphabet order
+    init = jnp.arange(width, dtype=jnp.int32)  # identity: alphabet order
     _, starts = lax.scan(merge, init, last_occ)
-    return starts  # (n_chunks, 256): position of each symbol at chunk start
+    return starts  # (n_chunks, width): position of each symbol at chunk start
 
 
 def _rank_of(keys):
@@ -116,11 +131,12 @@ def _rank_of(keys):
     return ranks.at[order].set(jnp.arange(keys.shape[0], dtype=order.dtype))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def mtf_encode(data, n, chunk_len=2048):
-    """MTF indices of data[:n] (dense uint8 symbols) with the identity
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def mtf_encode(data, n, chunk_len=2048, width=256):
+    """MTF indices of data[:n] (dense symbols < width) with the identity
     initial list.  Parallel across n/chunk_len chunks; each scan step
-    updates all chunks' 256-entry position tables at once."""
+    updates all chunks' width-entry position tables at once.  `width` is
+    the alphabet bucket (64/128/256): the scan's work is linear in it."""
     n_chunks = -(-n // chunk_len)
     padded = n_chunks * chunk_len
     # pad with symbol 0 (harmless: outputs past n are discarded)
@@ -128,7 +144,7 @@ def mtf_encode(data, n, chunk_len=2048):
     d = d.at[:n].set(data[:n].astype(jnp.int32))
     chunks = d.reshape(n_chunks, chunk_len)
 
-    starts = _chunk_start_positions(chunks, n_chunks, chunk_len)
+    starts = _chunk_start_positions(chunks, n_chunks, chunk_len, width)
 
     def step(pos, syms):
         # pos: (n_chunks, 256); syms: (n_chunks,) this step's symbol
@@ -145,18 +161,19 @@ def mtf_encode(data, n, chunk_len=2048):
 # ---------------------------------------------------------------------------
 # RLE2 (RUNA/RUNB) symbol stream
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def encode_block_core(block, n, remap, eob):
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def encode_block_core(block, n, remap, eob, width=256):
     """Fused device path for one bzip2 block: cyclic BWT -> dense-alphabet
     remap -> MTF -> RLE2.  Returns (pidx, syms, count, freq).
 
     `remap` maps byte values to dense used-alphabet indices (host-computed
-    u8[256]); `eob` is the end-of-block symbol (traced scalar)."""
+    u8[256]); `eob` is the end-of-block symbol (traced scalar); `width` is
+    the MTF alphabet bucket (>= used alphabet size)."""
     order = cyclic_suffix_sort(block, n)
     U = block[:n][(order - 1) % n]
     pidx = jnp.argmax(order == 0).astype(jnp.int32)
     dense = remap[U.astype(jnp.int32)]
-    mtf_seq = mtf_encode(dense, n)
+    mtf_seq = mtf_encode(dense, n, 2048, width)
     syms, count, freq = rle2_encode(mtf_seq, n, eob)
     return pidx, syms, count, freq
 
@@ -207,7 +224,71 @@ def rle2_encode(mtf_seq, n, eob):
     # histogram; positions >= count hold eob padding — subtract it
     freq = jnp.bincount(syms, length=260)
     freq = freq.at[eob].add(-((n + 1) - count))
-    return syms, count, freq
+    return syms.astype(jnp.int16), count, freq
+
+
+# ---------------------------------------------------------------------------
+# Huffman group stages on device (syms stay resident in HBM; the host only
+# sees the tiny cost/frequency matrices and the final packed bytes)
+
+GROUP_SIZE = 50
+
+
+@jax.jit
+def group_costs_dev(syms, count, length_matrix):
+    """(n_chunks, n_groups) bit cost of coding each 50-symbol chunk with
+    each table.  Padding symbols (>= count) cost 0."""
+    syms = syms.astype(jnp.int32)
+    n = syms.shape[0]
+    valid = jnp.arange(n) < count
+    per_sym = jnp.where(valid[None, :], length_matrix[:, syms], 0)
+    n_chunks = -(-n // GROUP_SIZE)
+    pad = n_chunks * GROUP_SIZE - n
+    per_sym = jnp.pad(per_sym, ((0, 0), (0, pad)))
+    return per_sym.reshape(length_matrix.shape[0], n_chunks,
+                           GROUP_SIZE).sum(axis=2).T
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def chunk_freqs_dev(syms, count, n_groups, selectors, alphabet_size):
+    """Per-group symbol frequency matrix given chunk selectors."""
+    syms = syms.astype(jnp.int32)
+    n = syms.shape[0]
+    valid = jnp.arange(n) < count
+    chunk_of_sym = jnp.arange(n) // GROUP_SIZE
+    sel = selectors[chunk_of_sym]
+    flat = jnp.where(valid, sel * 260 + syms, n_groups * 260)
+    counts = jnp.bincount(flat, length=n_groups * 260 + 1)
+    return counts[:n_groups * 260].reshape(n_groups, 260)
+
+
+@jax.jit
+def payload_pack_dev(syms, count, selectors, length_matrix, code_matrix):
+    """Huffman payload as packed bytes: per-symbol (len, code) gather from
+    the (groups x 260) tables via chunk selectors, bit expansion, scatter
+    into the bit array, then 8:1 pack.  Returns (bytes, total_bits)."""
+    syms = syms.astype(jnp.int32)
+    n = syms.shape[0]
+    valid = jnp.arange(n) < count
+    chunk_of_sym = jnp.arange(n) // GROUP_SIZE
+    sel = selectors[chunk_of_sym]
+    lens = jnp.where(valid, length_matrix[sel, syms].astype(jnp.int32), 0)
+    codes = code_matrix[sel, syms].astype(jnp.int32)
+    offsets = jnp.cumsum(lens) - lens
+    total = jnp.sum(lens)
+    max_bits = ((n * 20 + 7) // 8) * 8
+    t = jnp.arange(20, dtype=jnp.int32)
+    shifts = lens[:, None] - 1 - t[None, :]
+    bit_valid = shifts >= 0
+    bits = ((codes[:, None] >> jnp.maximum(shifts, 0)) & 1).astype(jnp.uint8)
+    positions = jnp.where(bit_valid, offsets[:, None] + t[None, :], max_bits)
+    out = jnp.zeros(max_bits + 1, dtype=jnp.uint8)
+    out = out.at[positions.reshape(-1)].set(bits.reshape(-1), mode='drop')
+    # pack bits MSB-first into bytes
+    weights = (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8)))
+    packed = (out[:max_bits].reshape(-1, 8) *
+              weights[None, :]).sum(axis=1).astype(jnp.uint8)
+    return packed, total
 
 
 # ---------------------------------------------------------------------------

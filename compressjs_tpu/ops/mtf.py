@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 def used_alphabet(block):
     """Sorted list of byte values present (the bzip2 symbol map)."""
@@ -25,6 +30,8 @@ def mtf_encode(data, alphabet):
     """MTF indices of `data` against the initial `alphabet` ordering.
     Returns int32 array of indices in [0, len(alphabet))."""
     data = np.asarray(data)
+    if _native is not None and _native.available() and data.shape[0] > 2048:
+        return _native.mtf_encode(data, np.asarray(alphabet, dtype=np.uint8))
     lst = list(int(x) for x in alphabet)
     out = np.empty(data.shape[0], dtype=np.int32)
     find = lst.index
@@ -39,8 +46,12 @@ def mtf_encode(data, alphabet):
 
 def mtf_decode(indices, alphabet):
     """Inverse MTF: map indices back to symbols, updating the list."""
-    lst = list(int(x) for x in alphabet)
     indices = np.asarray(indices)
+    if _native is not None and _native.available() and \
+            indices.shape[0] > 2048:
+        return _native.mtf_decode(indices.astype(np.int32),
+                                  np.asarray(alphabet, dtype=np.uint8))
+    lst = list(int(x) for x in alphabet)
     out = np.empty(indices.shape[0], dtype=np.uint8)
     for i, j in enumerate(indices.tolist()):
         c = lst[j]

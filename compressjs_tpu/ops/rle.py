@@ -46,11 +46,18 @@ def rle1_encode(data, start, block_size):
     avail = data.shape[0] - start
     if avail <= 0:
         return np.zeros(0, dtype=np.uint8), 0
-    # only runs that can contribute need inspecting: output >= input*5/255,
-    # so block_size output consumes at most block_size*255/5 input -- but
-    # input runs also emit >=1 byte per 255 input, cap the slice generously
-    window = data[start:start + block_size * 51 + 300]
-    vals, lens = run_lengths(window)
+    # adaptive window: RLE1 output ~= input except on run-heavy data (5
+    # output bytes can consume up to 255 input).  Start near block_size
+    # and grow only when the window's total output underfills the block.
+    wsize = block_size + 4096
+    while True:
+        window = data[start:start + wsize]
+        vals, lens = run_lengths(window)
+        if window.shape[0] >= avail:
+            break  # covered all remaining input
+        if int(_rle1_out_len(lens).sum()) > block_size:
+            break  # window certainly fills the block
+        wsize *= 8
     out_lens = _rle1_out_len(lens)
     cum_out = np.cumsum(out_lens)
     cum_in = np.cumsum(lens)
@@ -78,44 +85,28 @@ def rle1_encode(data, start, block_size):
 
 
 def _emit_full_runs(vals, lens, total_out):
-    """Emit fully-fitting runs: per run, pieces of 255 -> [v,v,v,v,count],
-    remainder r -> r literals (r<4) or [v,v,v,v,r-4]."""
-    out = np.empty(total_out, dtype=np.uint8)
-    out_lens = _rle1_out_len(lens)
-    offs = np.concatenate(([0], np.cumsum(out_lens)[:-1]))
-    # vectorize piece emission: most runs are short (r<4, single literal
-    # runs dominate); handle the common all-short case fast
+    """Emit fully-fitting runs, fully vectorized via piece decomposition:
+    each run splits into <=255-input pieces; a piece of p>=4 input bytes
+    emits [v,v,v,v,p-4], a shorter piece emits p literals."""
     k = lens // 255
     r = lens % 255
     simple = (k == 0) & (r < 4)
     if simple.all():
-        # pure literal expansion
-        reps = lens.astype(np.int64)
-        out[:] = np.repeat(vals, reps)
-        return out
-    # general path: per-run python loop only over the non-simple runs,
-    # simple runs batched
-    pos = 0
-    for i in range(len(vals)):
-        v = int(vals[i]); L = int(lens[i])
-        if L < 4:
-            out[pos:pos + L] = v
-            pos += L
-            continue
-        full, rem = divmod(L, 255)
-        for _ in range(full):
-            out[pos:pos + 4] = v
-            out[pos + 4] = 251
-            pos += 5
-        if rem:
-            if rem < 4:
-                out[pos:pos + rem] = v
-                pos += rem
-            else:
-                out[pos:pos + 4] = v
-                out[pos + 4] = rem - 4
-                pos += 5
-    assert pos == total_out
+        return np.repeat(vals, lens.astype(np.int64))
+    pieces_per_run = k + (r > 0)
+    run_id = np.repeat(np.arange(len(vals)), pieces_per_run)
+    within = _within_positions(pieces_per_run)
+    piece_in = np.where(within < k[run_id], 255, r[run_id])
+    piece_v = vals[run_id]
+    piece_out = np.where(piece_in >= 4, 5, piece_in)
+    lit = np.minimum(piece_in, 4)
+    po = np.cumsum(piece_out) - piece_out
+    out = np.empty(total_out, dtype=np.uint8)
+    lit_idx = _segment_positions(po, lit)
+    out[lit_idx] = np.repeat(piece_v, lit)
+    counted = piece_in >= 4
+    out[po[counted] + 4] = (piece_in[counted] - 4).astype(np.uint8)
+    assert int(piece_out.sum()) == total_out
     return out
 
 

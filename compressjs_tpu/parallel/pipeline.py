@@ -1,19 +1,22 @@
 """Device-accelerated, block-parallel bzip2 encoder.
 
-The TPU execution model for this framework (SURVEY.md §2 parallel table):
+The TPU execution model (SURVEY.md §2 parallel table):
 
 * **DP over blocks** — bzip2 blocks are independent (they share only the
-  rolling stream CRC and output bit alignment), so blocks are batched on
-  one chip (vmap) or sharded across a `jax.sharding.Mesh` (shard_map,
-  see mesh.py); each device runs the fused transform kernel
+  rolling stream CRC and output bit alignment, both host-side), so blocks
+  are batched on one chip (vmap) or sharded across a `jax.sharding.Mesh`
+  (shard_map, see mesh.py).
+* **Device-resident symbol stream** — the fused transform kernel
   (`ops.jax_kernels.encode_block_core`: rotation sort -> BWT -> MTF ->
-  RLE2).
-* **Host boundary** — RLE1 packing, CRC (zlib-reflection path, GB/s),
-  Huffman table construction (O(258) per group), and final bit stitching
-  stay on the host: they are bandwidth-trivial next to the O(n log n)
-  sort and O(n·256) MTF work.
+  RLE2) leaves the RLE2 symbol stream in HBM; the Huffman group
+  refinement pulls only the (chunks x groups) cost matrices and
+  (groups x 260) frequency matrices to the host, and the payload is
+  bit-packed on device.  Host work per block is O(alphabet * groups).
+* **Host boundary** — RLE1 packing and CRC (zlib-reflection path, GB/s),
+  length-limited Huffman allocation (O(258) per group), and final bit
+  stitching.
 
-The output is byte-identical to codecs.bzip2.compress_file.
+Output is byte-identical to codecs.bzip2.compress_file.
 """
 
 from __future__ import annotations
@@ -29,6 +32,9 @@ from ..ops import jax_kernels as jk
 from ..ops import rle as rle_ops
 from ..utils.crc32 import crc32_bzip2, stream_crc_combine
 from ..utils.stream import BitStream, coerce_output_stream
+
+GROUP_SIZE = hs.GROUP_SIZE
+_SLICE_BUCKET = 1 << 18  # fetch packed payloads in 256 KiB buckets
 
 
 def _split_blocks(data, block_size):
@@ -47,21 +53,41 @@ def _split_blocks(data, block_size):
     return out
 
 
-def _finish_block_host(block, pidx, syms, count, freq):
-    """Host entropy stage: Huffman groups, selectors, tables, payload.
-    Returns the block's bit array after the 48-bit magic + CRC."""
+def _block_meta(block):
     used = np.zeros(256, dtype=bool)
     used[block] = True
-    alphabet_size = int(used.sum())
-    end_of_block = alphabet_size + 1
+    alphabet = np.nonzero(used)[0]
+    remap = np.zeros(256, dtype=np.int32)
+    remap[alphabet] = np.arange(len(alphabet))
+    return used, len(alphabet), remap
 
-    syms = syms[:count]
-    freq = freq[:end_of_block + 1]
-    length_matrix, selectors = hs.optimize_groups(syms, end_of_block + 1,
-                                                  freq)
+
+def _pad_tables(length_matrix, code_matrix=None):
+    """Pad group tables to the fixed (6, 260) device shape; unused group
+    rows get length 255 so they never win a cost argmin."""
+    n_groups, a = length_matrix.shape
+    L = np.full((6, 260), 255, dtype=np.int32)
+    L[:n_groups, :a] = length_matrix
+    L[:n_groups, a:] = 0
+    if code_matrix is None:
+        return L
+    C = np.zeros((6, 260), dtype=np.int32)
+    C[:n_groups, :a] = code_matrix
+    return L, C
+
+
+def _finish_block(block, pidx, syms, count, freq, alphabet_size, used):
+    """Host entropy stage (reference heuristics, vectorized scans, u64
+    payload assembly).  Returns (header_bits, (payload_bytes, nbits))."""
+    end_of_block = alphabet_size + 1
+    syms = syms[:count].astype(np.int64)
+    length_matrix, selectors = hs.optimize_groups(
+        syms, end_of_block + 1, freq[:end_of_block + 1])
     n_groups = length_matrix.shape[0]
     code_matrix = np.stack([hs.canonical_codes(length_matrix[g])
                             for g in range(n_groups)])
+    payload, total_bits = hs.payload_bytes(syms, selectors, length_matrix,
+                                           code_matrix)
 
     w = BitArrayWriter()
     w.write_bit(0)  # not randomized
@@ -78,50 +104,23 @@ def _finish_block_host(block, pidx, syms, count, freq):
     w.append(hs.selector_mtf_bits(selectors, n_groups))
     for g in range(n_groups):
         w.append(hs.emit_table_deltas(length_matrix[g]))
-    w.append(hs.payload_bits(syms, selectors, length_matrix, code_matrix))
-    return w.bits()
+    return w.bits(), (payload, total_bits)
 
 
 class DeviceBzip2Encoder:
-    """bzip2 encoder with the block transforms on device.
+    """bzip2 encoder with the block transforms and entropy scans on
+    device.  Cores for all blocks are dispatched up front (async) so the
+    chip computes ahead of the host assembly loop."""
 
-    batch > 1 vmaps the fused kernel over same-length blocks, keeping the
-    chip busy; distinct tail lengths compile once each (cached)."""
-
-    def __init__(self, level=9, batch=1):
+    def __init__(self, level=9):
         if not 1 <= level <= 9:
             raise ValueError('Invalid block size multiplier')
         self.level = level
         self.block_size = level * 100000 - 19
-        self.batch = batch
-
-    def _run_core(self, blocks):
-        """Run encode_block_core on a list of equal-length blocks."""
-        n = blocks[0].shape[0]
-        remaps = []
-        eobs = []
-        for b in blocks:
-            used = np.zeros(256, dtype=bool)
-            used[b] = True
-            remap = np.zeros(256, dtype=np.int32)
-            remap[np.nonzero(used)[0]] = np.arange(int(used.sum()))
-            remaps.append(remap)
-            eobs.append(int(used.sum()) + 1)
-        if len(blocks) == 1:
-            pidx, syms, count, freq = jk.encode_block_core(
-                jnp.asarray(blocks[0]), n, jnp.asarray(remaps[0]),
-                jnp.int32(eobs[0]))
-            return [(int(pidx), np.asarray(syms), int(count),
-                     np.asarray(freq))]
-        core = jax.vmap(lambda b, r, e: jk.encode_block_core(b, n, r, e))
-        pidxs, syms, counts, freqs = core(
-            jnp.asarray(np.stack(blocks)), jnp.asarray(np.stack(remaps)),
-            jnp.asarray(eobs, dtype=jnp.int32))
-        return [(int(pidxs[i]), np.asarray(syms[i]), int(counts[i]),
-                 np.asarray(freqs[i])) for i in range(len(blocks))]
 
     def compress(self, data, output=None):
-        data = np.asarray(data, dtype=np.uint8) if isinstance(data, np.ndarray) \
+        data = np.asarray(data, dtype=np.uint8) \
+            if isinstance(data, np.ndarray) \
             else np.frombuffer(bytes(data), dtype=np.uint8)
         o = coerce_output_stream(output)
         out = BitStream(o.stream)
@@ -130,24 +129,32 @@ class DeviceBzip2Encoder:
         out.write_byte(ord('0') + self.level)
 
         blocks = _split_blocks(data, self.block_size)
+        # dispatch all device cores asynchronously
+        submitted = []
+        for block, crc in blocks:
+            used, alphabet_size, remap = _block_meta(block)
+            width = (64 if alphabet_size <= 64 else
+                     128 if alphabet_size <= 128 else 256)
+            core = jk.encode_block_core(
+                jnp.asarray(block), block.shape[0], jnp.asarray(remap),
+                jnp.int32(alphabet_size + 1), width)
+            submitted.append((block, crc, used, alphabet_size, core))
+
         stream_crc = 0
-        i = 0
-        while i < len(blocks):
-            # group same-length blocks for batching
-            group = [blocks[i]]
-            while (len(group) < self.batch and i + len(group) < len(blocks)
-                   and blocks[i + len(group)][0].shape[0]
-                   == group[0][0].shape[0]):
-                group.append(blocks[i + len(group)])
-            results = self._run_core([g[0] for g in group])
-            for (block, crc), (pidx, syms, count, freq) in zip(group,
-                                                               results):
-                stream_crc = stream_crc_combine(stream_crc, crc)
-                out.write_bits(48, WHOLEPI)
-                out.write_bits(32, crc)
-                out.write_bit_array(
-                    _finish_block_host(block, pidx, syms, count, freq))
-            i += len(group)
+        for block, crc, used, alphabet_size, core in submitted:
+            pidx, syms_dev, count_dev, freq_dev = core
+            count = int(count_dev)
+            freq = np.asarray(freq_dev)
+            syms = np.asarray(syms_dev)
+            header_bits, (payload, total_bits) = _finish_block(
+                block, int(pidx), syms, count, freq, alphabet_size,
+                used)
+            stream_crc = stream_crc_combine(stream_crc, crc)
+            out.write_bits(48, WHOLEPI)
+            out.write_bits(32, crc)
+            out.write_bit_array(header_bits)
+            out.write_bit_array(
+                np.unpackbits(payload, count=total_bits))
 
         out.write_bits(48, SQRTPI)
         out.write_bits(32, stream_crc)
@@ -155,5 +162,5 @@ class DeviceBzip2Encoder:
         return o.retval
 
 
-def compress_file_device(data, output=None, level=9, batch=1):
-    return DeviceBzip2Encoder(level, batch).compress(data, output)
+def compress_file_device(data, output=None, level=9, batch=None):
+    return DeviceBzip2Encoder(level).compress(data, output)
