@@ -1,18 +1,26 @@
-"""Benchmark: bzip2 -9 encode throughput on the device pipeline.
+"""Benchmark: bzip2 -9 encode throughput.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "MB/s", "vs_baseline": N}
 
 Baseline: the reference (cscott/compressjs) encodes sample5.ref at
-bzip2 -9 in 22.57 s (README.md:42) = 0.0944 MB/s.  vs_baseline is our
-throughput over that number.  Runs on whatever platform JAX selects
-(the real TPU chip under axon; CPU as fallback).
+bzip2 -9 in 22.57 s (README.md:42) = 0.0944 MB/s; vs_baseline is our
+throughput over that.
+
+The primary path is the hybrid device pipeline (rotation-sort/BWT on the
+TPU chip, native host entropy stages).  XLA compiles over the axon tunnel
+can take minutes and occasionally stall, so the device run happens in a
+subprocess with a hard timeout; if it doesn't come back, the host-native
+path's number is reported instead.  Either way the compressed output is
+verified (roundtrip + size <= the reference's 275,087 B) before any
+number is printed.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -20,42 +28,68 @@ import numpy as np
 
 SAMPLE = '/root/reference/test/sample5.ref'
 BASELINE_SECONDS = 22.57  # reference bzip2 -9 on sample5 (README.md:42)
+DEVICE_TIMEOUT = 480
 
 
-def main():
-    data = np.fromfile(SAMPLE, dtype=np.uint8)
-    from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
-    from compressjs_tpu.codecs import bzip2 as bzip2_host
-
-    enc = DeviceBzip2Encoder(level=9)
-
-    # warmup: compile all block shapes once
+def _measure(compress, data):
+    comp = bytes(compress(data))  # warmup (compiles)
     t0 = time.time()
-    comp = bytes(enc.compress(data))
-    warm = time.time() - t0
-
-    # timed run
-    t0 = time.time()
-    comp = bytes(enc.compress(data))
+    comp = bytes(compress(data))
     elapsed = time.time() - t0
-
-    # verify correctness before reporting any number
+    from compressjs_tpu.codecs import bzip2 as bzip2_host
     out = bytes(bzip2_host.decompress_file(comp))
     assert out == data.tobytes(), 'roundtrip failed'
     assert len(comp) <= 275087, 'compressed size exceeds reference'
+    return elapsed
 
-    mb = len(data) / 1e6
+
+def _report(label, elapsed, nbytes):
+    mb = nbytes / 1e6
     mbs = mb / elapsed
-    baseline_mbs = mb / BASELINE_SECONDS
     print(json.dumps({
-        'metric': 'bzip2 -9 encode throughput (sample5, device pipeline)',
+        'metric': 'bzip2 -9 encode throughput (sample5, %s)' % label,
         'value': round(mbs, 4),
         'unit': 'MB/s',
-        'vs_baseline': round(mbs / baseline_mbs, 2),
+        'vs_baseline': round(mbs / (mb / BASELINE_SECONDS), 2),
     }))
-    print('# warmup %.1fs, timed %.1fs, %d -> %d bytes'
-          % (warm, elapsed, len(data), len(comp)), file=sys.stderr)
+
+
+def device_main():
+    data = np.fromfile(SAMPLE, dtype=np.uint8)
+    from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
+    enc = DeviceBzip2Encoder(level=9)
+    elapsed = _measure(enc.compress, data)
+    _report('device pipeline', elapsed, len(data))
+
+
+def host_main():
+    data = np.fromfile(SAMPLE, dtype=np.uint8)
+    from compressjs_tpu.codecs import bzip2
+    elapsed = _measure(lambda d: bzip2.compress_file(d, None, 9), data)
+    _report('native host pipeline', elapsed, len(data))
+
+
+def main():
+    r = subprocess.run([sys.executable, __file__, '--device'],
+                       capture_output=True, text=True,
+                       timeout=DEVICE_TIMEOUT)
+    for line in (r.stdout or '').splitlines():
+        if line.startswith('{'):
+            print(line)
+            return
+    print('# device path failed (%s); falling back to host'
+          % (r.stderr or '')[-200:].replace('\n', ' '), file=sys.stderr)
+    host_main()
 
 
 if __name__ == '__main__':
-    main()
+    if '--device' in sys.argv:
+        device_main()
+    elif '--host' in sys.argv:
+        host_main()
+    else:
+        try:
+            main()
+        except subprocess.TimeoutExpired:
+            print('# device path timed out; host fallback', file=sys.stderr)
+            host_main()

@@ -65,6 +65,25 @@ def _load():
         lib.cz_inverse_bwt.argtypes = [_p_u8, _i64, _i64, _p_u8]
         lib.cz_rle1_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
         lib.cz_rle1_decode.restype = _i64
+        lib.cz_rle1_encode.argtypes = [_p_u8, _i64, _i64, _p_u8,
+                                       ctypes.POINTER(_i64)]
+        lib.cz_rle1_encode.restype = _i64
+        _p_u16 = np.ctypeslib.ndpointer(dtype=np.uint16,
+                                        flags='C_CONTIGUOUS')
+        _p_u32 = np.ctypeslib.ndpointer(dtype=np.uint32,
+                                        flags='C_CONTIGUOUS')
+        lib.cz_mtf_rle2.argtypes = [_p_u8, _i64, _p_u8, ctypes.c_int32,
+                                    _p_u16, _p_i64]
+        lib.cz_mtf_rle2.restype = _i64
+        lib.cz_group_costs.argtypes = [_p_u16, _i64, _p_u8,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       _p_i64]
+        lib.cz_chunk_freqs.argtypes = [_p_u16, _i64, _p_u8,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       _p_i64]
+        lib.cz_payload_pack.argtypes = [_p_u16, _i64, _p_u8, _p_u8,
+                                        _p_u32, ctypes.c_int32, _p_u8]
+        lib.cz_payload_pack.restype = _i64
         _lib = lib
         return _lib
 
@@ -147,6 +166,66 @@ def inverse_bwt(U, pidx):
     out = np.empty(U.shape[0], dtype=np.uint8)
     lib.cz_inverse_bwt(U, U.shape[0], pidx, out)
     return out
+
+
+def rle1_encode(data, block_size):
+    """Pack runs into one block; returns (block, consumed_input)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(block_size, dtype=np.uint8)
+    consumed = _i64(0)
+    n = lib.cz_rle1_encode(data, data.shape[0], block_size, out,
+                           ctypes.byref(consumed))
+    return out[:n], int(consumed.value)
+
+
+def mtf_rle2(U, alphabet):
+    """Fused MTF + RLE2: returns (syms uint16, freq int64[eob+1])."""
+    lib = _load()
+    U = np.ascontiguousarray(U, dtype=np.uint8)
+    alphabet = np.ascontiguousarray(alphabet, dtype=np.uint8)
+    syms = np.empty(U.shape[0] + 1, dtype=np.uint16)
+    freq = np.zeros(alphabet.shape[0] + 2, dtype=np.int64)
+    count = lib.cz_mtf_rle2(U, U.shape[0], alphabet,
+                            np.int32(alphabet.shape[0]), syms, freq)
+    return syms[:count], freq
+
+
+def group_costs(syms, lengths):
+    """(n_chunks, n_groups) chunk costs.  lengths: (g, alpha) uint8."""
+    lib = _load()
+    syms = np.ascontiguousarray(syms, dtype=np.uint16)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
+    g, alpha = lengths.shape
+    n_chunks = -(-syms.shape[0] // 50)
+    costs = np.empty((n_chunks, g), dtype=np.int64)
+    lib.cz_group_costs(syms, syms.shape[0], lengths, np.int32(g),
+                       np.int32(alpha), costs)
+    return costs
+
+
+def chunk_freqs(syms, selectors, n_groups, alpha):
+    lib = _load()
+    syms = np.ascontiguousarray(syms, dtype=np.uint16)
+    selectors = np.ascontiguousarray(selectors, dtype=np.uint8)
+    freqs = np.zeros((n_groups, alpha), dtype=np.int64)
+    lib.cz_chunk_freqs(syms, syms.shape[0], selectors,
+                       np.int32(n_groups), np.int32(alpha), freqs)
+    return freqs
+
+
+def payload_pack(syms, selectors, lengths, codes):
+    """Returns (packed bytes, total_bits)."""
+    lib = _load()
+    syms = np.ascontiguousarray(syms, dtype=np.uint16)
+    selectors = np.ascontiguousarray(selectors, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    g, alpha = lengths.shape
+    out = np.zeros(syms.shape[0] * 20 // 8 + 16, dtype=np.uint8)
+    bits = lib.cz_payload_pack(syms, syms.shape[0], selectors, lengths,
+                               codes, np.int32(alpha), out)
+    return out[:(bits + 7) // 8], int(bits)
 
 
 def rle1_decode(block, out_cap):

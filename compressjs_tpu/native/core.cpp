@@ -330,6 +330,111 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
   return dbuf_count;
 }
 
+// Fused MTF + RLE2: BWT column -> bzip2 symbol stream (zero runs as
+// bijective base-2 RUNA/RUNB digits, literal j -> j+1, EOB appended) with
+// the frequency histogram.  Returns symbol count.
+int64_t cz_mtf_rle2(const uint8_t* U, int64_t n, const uint8_t* alphabet,
+                    int32_t asize, uint16_t* syms, int64_t* freq) {
+  uint8_t list[256];
+  std::memcpy(list, alphabet, asize);
+  int32_t eob = asize + 1;
+  for (int i = 0; i <= eob; i++) freq[i] = 0;
+  int64_t out = 0;
+  int64_t run = 0;
+  auto flush_run = [&]() {
+    while (run) {
+      int d = (run & 1) ? 0 : 1;  // RUNA : RUNB
+      syms[out++] = (uint16_t)d;
+      freq[d]++;
+      run = (run - 1 - d) >> 1;
+    }
+  };
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = U[i];
+    int32_t j = 0;
+    while (list[j] != c) j++;
+    if (j) {
+      std::memmove(list + 1, list, j);
+      list[0] = c;
+      flush_run();
+      syms[out++] = (uint16_t)(j + 1);
+      freq[j + 1]++;
+    } else {
+      run++;
+    }
+  }
+  flush_run();
+  syms[out++] = (uint16_t)eob;
+  freq[eob]++;
+  return out;
+}
+
+// Per-50-symbol-chunk bit costs under each Huffman table.
+// lengths: uint8[n_groups][alpha]; costs out: int64[n_chunks][n_groups].
+void cz_group_costs(const uint16_t* syms, int64_t count,
+                    const uint8_t* lengths, int32_t n_groups,
+                    int32_t alpha, int64_t* costs) {
+  int64_t n_chunks = (count + 49) / 50;
+  for (int64_t ch = 0; ch < n_chunks; ch++) {
+    int64_t lo = ch * 50;
+    int64_t hi = std::min(lo + 50, count);
+    for (int32_t g = 0; g < n_groups; g++) {
+      const uint8_t* L = lengths + (int64_t)g * alpha;
+      int64_t c = 0;
+      for (int64_t i = lo; i < hi; i++) c += L[syms[i]];
+      costs[ch * n_groups + g] = c;
+    }
+  }
+}
+
+// Per-group frequency recompute given chunk selectors.
+// freqs out: int64[n_groups][alpha].
+void cz_chunk_freqs(const uint16_t* syms, int64_t count,
+                    const uint8_t* selectors, int32_t n_groups,
+                    int32_t alpha, int64_t* freqs) {
+  std::fill(freqs, freqs + (int64_t)n_groups * alpha, 0);
+  int64_t n_chunks = (count + 49) / 50;
+  for (int64_t ch = 0; ch < n_chunks; ch++) {
+    int64_t lo = ch * 50;
+    int64_t hi = std::min(lo + 50, count);
+    int64_t* f = freqs + (int64_t)selectors[ch] * alpha;
+    for (int64_t i = lo; i < hi; i++) f[syms[i]]++;
+  }
+}
+
+// Huffman payload packing: per-chunk selected tables, MSB-first bits.
+// out must hold ceil(count*20/8) bytes (zero-initialized by callee).
+// Returns total bit count.
+int64_t cz_payload_pack(const uint16_t* syms, int64_t count,
+                        const uint8_t* selectors,
+                        const uint8_t* lengths, const uint32_t* codes,
+                        int32_t alpha, uint8_t* out) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t o = 0;
+  int64_t bits = 0;
+  const uint8_t* L = lengths;
+  const uint32_t* C = codes;
+  for (int64_t i = 0; i < count; i++) {
+    if (i % 50 == 0) {
+      int g = selectors[i / 50];
+      L = lengths + (int64_t)g * alpha;
+      C = codes + (int64_t)g * alpha;
+    }
+    uint16_t s = syms[i];
+    int len = L[s];
+    acc = (acc << len) | C[s];
+    accbits += len;
+    bits += len;
+    while (accbits >= 8) {
+      accbits -= 8;
+      out[o++] = (uint8_t)(acc >> accbits);
+    }
+  }
+  if (accbits) out[o++] = (uint8_t)(acc << (8 - accbits));
+  return bits;
+}
+
 // Inverse cyclic BWT: fill out[0..n) from BWT column U and pidx.
 void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
                     uint8_t* out) {
@@ -345,6 +450,43 @@ void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
     out[i] = U[t];
     t = lf[t];
   }
+}
+
+// RLE1 encode: pack runs of >=4 equal bytes as [v,v,v,v,count<=251] into
+// a block of at most block_size output bytes, with the exact lazy
+// count-byte / block-cut semantics of the bzip2 readBlock loop
+// (reference Bzip2.js:636-667).  Returns output length; *consumed_io is
+// set to the number of input bytes eaten.
+int64_t cz_rle1_encode(const uint8_t* in, int64_t avail, int64_t block_size,
+                       uint8_t* out, int64_t* consumed_io) {
+  int64_t pos = 0;       // output position
+  int64_t i = 0;         // input position
+  int last = -1;
+  int64_t run = 0;
+  while (pos < block_size) {
+    if (run == 4) {
+      out[pos++] = 0;  // count byte, incremented as extras arrive
+      if (pos >= block_size) break;
+    }
+    if (i >= avail) break;
+    int c = in[i++];
+    if (c != last) {
+      last = c;
+      run = 1;
+    } else {
+      run++;
+      if (run > 4) {
+        if (run < 256) {
+          out[pos - 1]++;
+          continue;
+        }
+        run = 1;
+      }
+    }
+    out[pos++] = (uint8_t)c;
+  }
+  *consumed_io = i;
+  return pos;
 }
 
 // RLE1 decode: after 4 equal bytes the next byte is an extras count.

@@ -16,6 +16,15 @@ import numpy as np
 
 from ..coders.huffman_allocator import allocate_huffman_code_lengths
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _nat():
+    return _native is not None and _native.available()
+
 MAX_HUFCODE_BITS = 20
 GROUP_SIZE = 50
 MIN_GROUPS = 2
@@ -73,6 +82,8 @@ def target_group_count(mtf_len):
 def group_costs(length_matrix, syms):
     """(n_chunks, n_groups) bit-cost of coding each 50-symbol chunk with
     each group's table.  length_matrix: (n_groups, alphabet)."""
+    if _nat() and syms.shape[0] > 4096:
+        return _native.group_costs(syms, length_matrix)
     n = syms.shape[0]
     n_groups = length_matrix.shape[0]
     per_sym = length_matrix[:, syms]             # (n_groups, n)
@@ -92,6 +103,9 @@ def assign_selectors(length_matrix, syms):
 
 def chunk_freqs(syms, selectors, n_groups, alphabet_size):
     """Per-group symbol frequencies given chunk selectors."""
+    if _nat() and syms.shape[0] > 4096:
+        return _native.chunk_freqs(syms, selectors, n_groups,
+                                   alphabet_size)
     n = syms.shape[0]
     chunk_of_sym = np.repeat(np.arange(len(selectors)), GROUP_SIZE)[:n]
     sel_of_sym = selectors[chunk_of_sym].astype(np.int64)
@@ -157,6 +171,9 @@ def payload_bytes(syms, selectors, length_matrix, code_matrix):
     words, so a left-aligned u64 split into hi/lo halves OR-accumulated at
     the word index packs the whole stream in O(n) without materializing
     per-bit arrays.  Returns (bytes, total_bits)."""
+    if _nat() and syms.shape[0] > 4096:
+        return _native.payload_pack(syms, selectors, length_matrix,
+                                    code_matrix)
     n = syms.shape[0]
     chunk_of_sym = np.repeat(np.arange(len(selectors)), GROUP_SIZE)[:n]
     sel = selectors[chunk_of_sym].astype(np.int64)

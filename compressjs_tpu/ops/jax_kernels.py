@@ -79,6 +79,16 @@ def cyclic_suffix_sort(block, n):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def bwt_block(block, n):
+    """Cyclic BWT of one block: (U, pidx).  The hybrid pipeline's device
+    stage — rotation sort stays on chip, the rest on the host."""
+    order = cyclic_suffix_sort(block, n)
+    U = block[:n][(order - 1) % n]
+    pidx = jnp.argmax(order == 0).astype(jnp.int32)
+    return U, pidx
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def bwt_from_order(block, n, order=None):
     """Cyclic BWT output and pidx given the sorted rotation order."""
     if order is None:

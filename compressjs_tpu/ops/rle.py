@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 def run_lengths(data):
     """(values, lengths) run-length encoding of a uint8 array."""
@@ -46,6 +51,8 @@ def rle1_encode(data, start, block_size):
     avail = data.shape[0] - start
     if avail <= 0:
         return np.zeros(0, dtype=np.uint8), 0
+    if _native is not None and _native.available() and avail > 4096:
+        return _native.rle1_encode(data[start:], block_size)
     # adaptive window: RLE1 output ~= input except on run-heavy data (5
     # output bytes can consume up to 255 input).  Start near block_size
     # and grow only when the window's total output underfills the block.
@@ -63,6 +70,12 @@ def rle1_encode(data, start, block_size):
     cum_in = np.cumsum(lens)
     # number of runs that fit entirely
     nfit = int(np.searchsorted(cum_out, block_size, side='right'))
+    # a run whose output ends exactly at the block boundary may still be
+    # cut there (a count byte written as the final block byte ends the
+    # loop before its extras are consumed) — route it through the exact
+    # partial-run state machine
+    if nfit > 0 and int(cum_out[nfit - 1]) == block_size:
+        nfit -= 1
     out_parts = []
     consumed = int(cum_in[nfit - 1]) if nfit > 0 else 0
     emitted = int(cum_out[nfit - 1]) if nfit > 0 else 0
@@ -132,9 +145,14 @@ def _emit_partial_run(v, L, cap):
         # count byte requires one output slot (checked at loop top)
         if cap == 0:
             break  # extras (and the rest of the run) go to the next block
+        cap -= 1
+        if cap == 0:
+            # the count byte is the final block byte: the loop breaks
+            # right after writing it, before any extra is read
+            out.append(0)
+            break
         extras = min(remaining, 251)
         out.append(extras)
-        cap -= 1
         used += extras
         remaining -= extras
         # if the run continues, the 256th byte starts a new piece; its

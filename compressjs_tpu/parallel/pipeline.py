@@ -29,11 +29,27 @@ import jax.numpy as jnp
 from ..codecs.bzip2 import WHOLEPI, SQRTPI, BitArrayWriter
 from ..ops import huffman_stages as hs
 from ..ops import jax_kernels as jk
+from ..ops import mtf as mtf_ops
 from ..ops import rle as rle_ops
 from ..utils.crc32 import crc32_bzip2, stream_crc_combine
 from ..utils.stream import BitStream, coerce_output_stream
 
 GROUP_SIZE = hs.GROUP_SIZE
+
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _mtf_rle2(U, alphabet, alphabet_size):
+    """MTF + RLE2 + histogram (native fused loop, numpy fallback)."""
+    if _native is not None and _native.available():
+        return _native.mtf_rle2(U, alphabet)
+    mtf_seq = mtf_ops.mtf_encode(U, alphabet)
+    syms = rle_ops.mtf_rle2_encode(mtf_seq, alphabet_size + 1)
+    freq = np.bincount(syms, minlength=alphabet_size + 2)
+    return syms, freq
 _SLICE_BUCKET = 1 << 18  # fetch packed payloads in 256 KiB buckets
 
 
@@ -108,15 +124,38 @@ def _finish_block(block, pidx, syms, count, freq, alphabet_size, used):
 
 
 class DeviceBzip2Encoder:
-    """bzip2 encoder with the block transforms and entropy scans on
-    device.  Cores for all blocks are dispatched up front (async) so the
-    chip computes ahead of the host assembly loop."""
+    """bzip2 encoder with block transforms on device.
 
-    def __init__(self, level=9):
+    mode='full'   — sort+BWT+MTF+RLE2 on device (the whole transform
+                    chain in HBM; what the multi-chip mesh path shards).
+    mode='hybrid' — sort+BWT on device (the O(n log n) make-or-break
+                    kernel), MTF/RLE2/Huffman on the native host runtime.
+                    On a tunnel-attached chip this wins: the sequential
+                    stages are latency-bound, not bandwidth-bound.
+
+    Cores for all blocks are dispatched up front (async) so the chip
+    computes ahead of the host assembly loop."""
+
+    def __init__(self, level=9, mode='hybrid'):
         if not 1 <= level <= 9:
             raise ValueError('Invalid block size multiplier')
         self.level = level
         self.block_size = level * 100000 - 19
+        self.mode = mode
+
+    def _submit(self, block, alphabet_size, remap):
+        n = block.shape[0]
+        if n != self.block_size:
+            # odd-length tail: each distinct shape would cost a fresh XLA
+            # compile; the native host BWT handles it instead
+            return ('host', block)
+        if self.mode == 'full':
+            width = (64 if alphabet_size <= 64 else
+                     128 if alphabet_size <= 128 else 256)
+            return jk.encode_block_core(
+                jnp.asarray(block), n, jnp.asarray(remap),
+                jnp.int32(alphabet_size + 1), width)
+        return jk.bwt_block(jnp.asarray(block), n)
 
     def compress(self, data, output=None):
         data = np.asarray(data, dtype=np.uint8) \
@@ -129,23 +168,34 @@ class DeviceBzip2Encoder:
         out.write_byte(ord('0') + self.level)
 
         blocks = _split_blocks(data, self.block_size)
-        # dispatch all device cores asynchronously
         submitted = []
         for block, crc in blocks:
             used, alphabet_size, remap = _block_meta(block)
-            width = (64 if alphabet_size <= 64 else
-                     128 if alphabet_size <= 128 else 256)
-            core = jk.encode_block_core(
-                jnp.asarray(block), block.shape[0], jnp.asarray(remap),
-                jnp.int32(alphabet_size + 1), width)
+            core = self._submit(block, alphabet_size, remap)
             submitted.append((block, crc, used, alphabet_size, core))
 
         stream_crc = 0
         for block, crc, used, alphabet_size, core in submitted:
-            pidx, syms_dev, count_dev, freq_dev = core
-            count = int(count_dev)
-            freq = np.asarray(freq_dev)
-            syms = np.asarray(syms_dev)
+            if isinstance(core, tuple) and len(core) == 2 and \
+                    isinstance(core[0], str) and core[0] == 'host':
+                from ..ops import bwt as bwt_ops
+                n = block.shape[0]
+                U = np.zeros(n, dtype=np.uint8)
+                pidx = bwt_ops.bwtransform2(block, U, n, 256)
+                alphabet = np.nonzero(used)[0].astype(np.uint8)
+                syms, freq = _mtf_rle2(U, alphabet, alphabet_size)
+                count = len(syms)
+            elif self.mode == 'full':
+                pidx, syms_dev, count_dev, freq_dev = core
+                count = int(count_dev)
+                freq = np.asarray(freq_dev)
+                syms = np.asarray(syms_dev)
+            else:
+                U_dev, pidx = core
+                U = np.asarray(U_dev)
+                alphabet = np.nonzero(used)[0].astype(np.uint8)
+                syms, freq = _mtf_rle2(U, alphabet, alphabet_size)
+                count = len(syms)
             header_bits, (payload, total_bits) = _finish_block(
                 block, int(pidx), syms, count, freq, alphabet_size,
                 used)
