@@ -28,6 +28,11 @@ from ..ops import rle as rle_ops
 from ..utils import util
 from ..utils.stream import EOF
 
+try:
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 MAGIC = 'bwtc'
 F_PROB_MAX = 0xFF00
 F_PROB_INCR = 0x0100
@@ -112,26 +117,35 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
         alphabet_size = len(alphabet)
         mtf_seq = mtf_ops.mtf_encode(U[:length], alphabet)
 
-        if fast:
-            model = DefSumModel(encoder, alphabet_size + 1)
+        if _native is not None and _native.available() and \
+                hasattr(out_stream, 'write_array'):
+            # native fused RLE2+model loop sharing the coder state
+            st = encoder.export_enc_state()
+            payload = _native.bwtc_encode_block(mtf_seq, alphabet_size,
+                                                fast, st)
+            out_stream.write_array(payload)
+            encoder.import_enc_state(st)
         else:
-            model = FenwickModel(encoder, alphabet_size + 1,
-                                 F_PROB_MAX, F_PROB_INCR)
-        # RLE2: zero runs as RUNA/RUNB digits, literals as c+1 (no EOB)
-        encode = model.encode
-        run_length = 0
-        for c in mtf_seq.tolist():
-            if c == 0:
-                run_length += 1
+            if fast:
+                model = DefSumModel(encoder, alphabet_size + 1)
             else:
-                if run_length:
-                    for d in rle_ops.runab_encode_lengths(run_length):
-                        encode(d)
-                    run_length = 0
-                encode(c + 1)
-        if run_length:
-            for d in rle_ops.runab_encode_lengths(run_length):
-                encode(d)
+                model = FenwickModel(encoder, alphabet_size + 1,
+                                     F_PROB_MAX, F_PROB_INCR)
+            # RLE2: zero runs as RUNA/RUNB digits, literals as c+1 (no EOB)
+            encode = model.encode
+            run_length = 0
+            for c in mtf_seq.tolist():
+                if c == 0:
+                    run_length += 1
+                else:
+                    if run_length:
+                        for d in rle_ops.runab_encode_lengths(run_length):
+                            encode(d)
+                        run_length = 0
+                    encode(c + 1)
+            if run_length:
+                for d in rle_ops.runab_encode_lengths(run_length):
+                    encode(d)
         if length != block_size:
             break
 
@@ -166,29 +180,37 @@ def _decompress_guts(in_stream, out_stream, file_size):
         used = _decode_usage_tree(decoder)
         alphabet = np.nonzero(used)[0].astype(np.uint8)
 
-        if fast:
-            model = DefSumModel(decoder, len(alphabet) + 1, True)
+        from ..utils.stream import ArrayInputStream
+        if _native is not None and _native.available() and \
+                isinstance(in_stream, ArrayInputStream):
+            st = decoder.export_dec_state(in_stream.pos)
+            b = _native.bwtc_decode_block(in_stream.data, st,
+                                          len(alphabet), fast, length)
+            in_stream.pos = decoder.import_dec_state(st)
         else:
-            model = FenwickModel(decoder, len(alphabet) + 1,
-                                 F_PROB_MAX, F_PROB_INCR)
-        decode = model.decode
-        b = np.empty(length, dtype=np.uint8)
-        i = 0
-        val = 1  # current zero-run weight
-        while i < length:
-            c = decode()
-            if c == 0:    # RUNA
-                b[i:i + val] = 0
-                i += val
-                val *= 2
-            elif c == 1:  # RUNB
-                b[i:i + 2 * val] = 0
-                i += 2 * val
-                val *= 2
+            if fast:
+                model = DefSumModel(decoder, len(alphabet) + 1, True)
             else:
-                val = 1
-                b[i] = c - 1
-                i += 1
+                model = FenwickModel(decoder, len(alphabet) + 1,
+                                     F_PROB_MAX, F_PROB_INCR)
+            decode = model.decode
+            b = np.empty(length, dtype=np.uint8)
+            i = 0
+            val = 1  # current zero-run weight
+            while i < length:
+                c = decode()
+                if c == 0:    # RUNA
+                    b[i:i + val] = 0
+                    i += val
+                    val *= 2
+                elif c == 1:  # RUNB
+                    b[i:i + 2 * val] = 0
+                    i += 2 * val
+                    val *= 2
+                else:
+                    val = 1
+                    b[i] = c - 1
+                    i += 1
         # MTF undo then inverse BWT
         mb = mtf_ops.mtf_decode(b, alphabet)
         bwt_ops.unbwtransform(mb, U, A, length, pidx)

@@ -173,6 +173,29 @@ class RangeCoder:
     def decode_finish(self):
         self._dec_normalize()
 
+    # ------------------------------------------------------------------
+    # state exchange with the native (C++) coder: the sequential symbol
+    # loops run in compressjs_tpu.native on the same coder state
+    def export_enc_state(self):
+        import numpy as np
+        return np.array([self.low, self.range, self.buffer, self.help,
+                         self.bytecount], dtype=np.int64)
+
+    def import_enc_state(self, s):
+        self.low, self.range, self.buffer, self.help, self.bytecount = \
+            (int(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4]))
+
+    def export_dec_state(self, pos):
+        import numpy as np
+        buf = self.buffer if self.buffer >= 0 else -1
+        return np.array([self.low, self.range, buf, pos, 0],
+                        dtype=np.int64)
+
+    def import_dec_state(self, s):
+        self.low, self.range, self.buffer = \
+            int(s[0]), int(s[1]), int(s[2])
+        return int(s[3])
+
     # bitstream/stream aliases (RangeCoder.js:229-235)
     write_bit = encode_bit
     read_bit = decode_bit

@@ -84,6 +84,19 @@ def _load():
         lib.cz_payload_pack.argtypes = [_p_u16, _i64, _p_u8, _p_u8,
                                         _p_u32, ctypes.c_int32, _p_u8]
         lib.cz_payload_pack.restype = _i64
+        lib.cz_bwtc_encode_block.argtypes = [_p_i32, _i64, ctypes.c_int32,
+                                             ctypes.c_int32, _p_i64, _p_u8]
+        lib.cz_bwtc_encode_block.restype = _i64
+        lib.cz_bwtc_decode_block.argtypes = [_p_u8, _i64, _p_i64,
+                                             ctypes.c_int32,
+                                             ctypes.c_int32, _p_u8, _i64]
+        lib.cz_bwtc_decode_block.restype = _i64
+        lib.cz_order0_fenwick_encode.argtypes = [
+            _p_u8, _i64, ctypes.c_int32, ctypes.c_int32, _p_i64, _p_u8]
+        lib.cz_order0_fenwick_encode.restype = _i64
+        lib.cz_order0_fenwick_decode.argtypes = [
+            _p_u8, _i64, _p_i64, ctypes.c_int32, _p_u8, _i64]
+        lib.cz_order0_fenwick_decode.restype = _i64
         _lib = lib
         return _lib
 
@@ -226,6 +239,50 @@ def payload_pack(syms, selectors, lengths, codes):
     bits = lib.cz_payload_pack(syms, syms.shape[0], selectors, lengths,
                                codes, np.int32(alpha), out)
     return out[:(bits + 7) // 8], int(bits)
+
+
+def bwtc_encode_block(mtf_seq, asize, fast, enc_state):
+    """RLE2+model-code one BWTC block on a shared range coder.
+    enc_state: int64[5] ndarray, mutated in place.  Returns bytes."""
+    lib = _load()
+    mtf_seq = np.ascontiguousarray(mtf_seq, dtype=np.int32)
+    out = np.empty(mtf_seq.shape[0] * 3 + 4096, dtype=np.uint8)
+    n = lib.cz_bwtc_encode_block(mtf_seq, mtf_seq.shape[0],
+                                 np.int32(asize), np.int32(1 if fast else 0),
+                                 enc_state, out)
+    return out[:n]
+
+
+def bwtc_decode_block(data, dec_state, asize, fast, length):
+    """Decode one BWTC block's MTF indices.  dec_state: int64[5]
+    ([low, range, buffer, pos]), mutated in place."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    b = np.empty(length, dtype=np.uint8)
+    r = lib.cz_bwtc_decode_block(data, data.shape[0], dec_state,
+                                 np.int32(asize),
+                                 np.int32(1 if fast else 0), b, length)
+    if r < 0:
+        raise ValueError('BWTC block decode overrun')
+    return b
+
+
+def order0_fenwick_encode(data, size, eof_sym, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 3 + 4096, dtype=np.uint8)
+    n = lib.cz_order0_fenwick_encode(data, data.shape[0], np.int32(size),
+                                     np.int32(eof_sym), enc_state, out)
+    return out[:n]
+
+
+def order0_fenwick_decode(data, dec_state, size, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_order0_fenwick_decode(data, data.shape[0], dec_state,
+                                 np.int32(size), out, n)
+    return out
 
 
 def rle1_decode(block, out_cap):

@@ -1,0 +1,146 @@
+"""Block-parallel bzip2 decode.
+
+The seek-bzip block index (bit-addressed block starts) is the sharding
+manifest for decode (SURVEY.md §5): blocks decode independently, so the
+decoder scans for the 48-bit block magic at every bit alignment
+(vectorized), decodes all candidate blocks concurrently (the native
+decode loop releases the GIL), and validates the assembly with the
+per-block CRCs plus the rolling stream CRC.  Any inconsistency — e.g. a
+payload bit pattern that happens to look like a block magic — falls back
+to the sequential decoder.
+
+The same scan powers `block_index()`, a fast alternative to
+`Bzip2.table()` when only positions (not uncompressed sizes) are needed.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+import os
+
+import numpy as np
+
+from ..codecs import bzip2 as bz
+from ..utils.crc32 import stream_crc_combine
+from ..utils.stream import coerce_output_stream
+
+_MAGIC_BITS = np.array([0x31, 0x41, 0x59, 0x26, 0x53, 0x59],
+                       dtype=np.uint8)
+_END_BITS = np.array([0x17, 0x72, 0x45, 0x38, 0x50, 0x90], dtype=np.uint8)
+
+
+def _scan_magic(data, pattern):
+    """All bit positions where the 48-bit `pattern` occurs (vectorized:
+    one shifted comparison per bit alignment)."""
+    n = data.shape[0]
+    if n < 7:
+        return np.zeros(0, dtype=np.int64)
+    hits = []
+    d = data.astype(np.uint16)
+    # build shifted byte streams for each bit offset
+    for shift in range(8):
+        if shift == 0:
+            stream = data
+        else:
+            stream = (((d[:-1] << shift) | (d[1:] >> (8 - shift)))
+                      & 0xFF).astype(np.uint8)
+        m = np.ones(stream.shape[0] - 5, dtype=bool)
+        for k in range(6):
+            m &= stream[k:stream.shape[0] - 5 + k] == pattern[k]
+        pos = np.nonzero(m)[0]
+        hits.append(pos * 8 + shift)
+    out = np.concatenate(hits)
+    out.sort()
+    return out
+
+
+def block_index(data):
+    """Candidate (bit_position) list of block starts (after the 48-bit
+    magic the position points AT the magic itself, matching table())."""
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    return _scan_magic(data, _MAGIC_BITS)
+
+
+_FORK_DATA = {}
+
+
+def _decode_at_fork(args):
+    key, pos, dbuf_size = args
+    data = _FORK_DATA[key]
+    rr = bz._BitReader(data)
+    rr.seek_bit(pos)
+    try:
+        return bz._decode_one_block(rr, dbuf_size)
+    except ValueError:
+        return None
+
+
+def decompress_file_parallel(input_data, output=None, n_workers=None,
+                             executor='process'):
+    """Parallel bzip2 decode; falls back to sequential on any anomaly.
+
+    executor='process' forks workers that inherit the input copy-on-write
+    (Linux); 'thread' uses a thread pool (the native decode loop releases
+    the GIL, but the Python header parsing serializes)."""
+    data = bz._slurp(input_data)
+    r = bz._BitReader(data)
+    dbuf_size = bz._start(r)
+    first_block_pos = r.tell_bit()
+    candidates = [int(p) for p in block_index(data) if p >= first_block_pos]
+    if not candidates or candidates[0] != first_block_pos:
+        return bz.decompress_file(data, output)
+
+    n_workers = n_workers or min(8, (os.cpu_count() or 2))
+    if executor == 'process' and len(candidates) > 2 and n_workers > 1:
+        import multiprocessing as mp
+        key = id(data)
+        _FORK_DATA[key] = data
+        try:
+            ctx = mp.get_context('fork')
+            with ctx.Pool(n_workers) as pool:
+                results = pool.map(
+                    _decode_at_fork,
+                    [(key, p, dbuf_size) for p in candidates],
+                    chunksize=max(1, len(candidates) // (4 * n_workers)))
+        finally:
+            del _FORK_DATA[key]
+    else:
+        def decode_at(pos):
+            rr = bz._BitReader(data)
+            rr.seek_bit(pos)
+            try:
+                return bz._decode_one_block(rr, dbuf_size)
+            except ValueError:
+                return None
+
+        with ThreadPoolExecutor(n_workers) as ex:
+            results = list(ex.map(decode_at, candidates))
+
+    pieces = []
+    stream_crc = 0
+    for res in results:
+        if res is None:
+            continue  # false-positive magic inside a payload
+        out, crc = res
+        pieces.append(out)
+        stream_crc = stream_crc_combine(stream_crc, crc)
+    if not pieces:
+        return bz.decompress_file(data, output)
+    # validate the assembly against the trailing stream CRC
+    valid = False
+    for p in _scan_magic(data, _END_BITS):
+        rr = bz._BitReader(data)
+        rr.seek_bit(int(p) + 48)
+        if rr.read_bits(32) == stream_crc:
+            valid = True
+            break
+    if not valid:
+        return bz.decompress_file(data, output)
+    o = coerce_output_stream(output)
+    for piece in pieces:
+        if hasattr(o.stream, 'write_array'):
+            o.stream.write_array(piece)
+        else:
+            o.stream.write(piece, 0, len(piece))
+    return o.retval

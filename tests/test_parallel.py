@@ -1,0 +1,122 @@
+"""Multi-chip (virtual 8-device CPU mesh) and device-kernel tests:
+the fake-backend analog the reference never needed (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from compressjs_tpu.ops import jax_kernels as jk
+from compressjs_tpu.ops import bwt as bwt_host
+from compressjs_tpu.ops import mtf as mtf_host
+from compressjs_tpu.ops import rle as rle_host
+
+REF = '/root/reference/test'
+
+
+def _data(n, seed=0):
+    base = open(f'{REF}/sample1.ref', 'rb').read()
+    start = (seed * 977) % (len(base) - n)
+    return np.frombuffer(base[start:start + n], dtype=np.uint8)
+
+
+def test_device_suffix_sort_matches_host():
+    d = _data(20000)
+    dev = np.asarray(jk.cyclic_suffix_sort(jnp.asarray(d), len(d)))
+    host = bwt_host.cyclic_suffix_array(d)
+    assert (dev == host).all()
+
+
+def test_device_suffix_sort_periodic():
+    d = np.frombuffer(b'xy' * 600, dtype=np.uint8)
+    dev = np.asarray(jk.cyclic_suffix_sort(jnp.asarray(d), len(d)))
+    host = bwt_host.cyclic_suffix_array(d)
+    assert (dev == host).all()
+
+
+def test_device_mtf_matches_host():
+    d = _data(30000, 3)
+    alpha = mtf_host.used_alphabet(d)
+    remap = np.zeros(256, np.int32)
+    remap[alpha] = np.arange(len(alpha))
+    dense = remap[d].astype(np.uint8)
+    host = mtf_host.mtf_encode(d, alpha)
+    dev = np.asarray(jk.mtf_encode(jnp.asarray(dense), len(dense)))
+    assert (host == dev).all()
+
+
+def test_device_rle2_matches_host():
+    d = _data(30000, 5)
+    alpha = mtf_host.used_alphabet(d)
+    m = mtf_host.mtf_encode(d, alpha)
+    eob = len(alpha) + 1
+    host = rle_host.mtf_rle2_encode(m, eob)
+    syms, cnt, freq = jk.rle2_encode(jnp.asarray(m), len(m), eob)
+    cnt = int(cnt)
+    assert cnt == len(host)
+    assert (np.asarray(syms)[:cnt] == host.astype(np.int64)).all()
+    assert (np.asarray(freq)[:len(np.bincount(host, minlength=260))]
+            == np.bincount(host, minlength=260)).all()
+
+
+def test_encode_block_core_fused():
+    d = _data(8192, 7)
+    alpha = mtf_host.used_alphabet(d)
+    remap = np.zeros(256, np.int32)
+    remap[alpha] = np.arange(len(alpha))
+    eob = len(alpha) + 1
+    pidx, syms, count, freq = jk.encode_block_core(
+        jnp.asarray(d), len(d), jnp.asarray(remap), jnp.int32(eob))
+    U = np.zeros(len(d), np.uint8)
+    pidx_h = bwt_host.bwtransform2(d, U, len(d), 256)
+    m_h = mtf_host.mtf_encode(U, alpha)
+    s_h = rle_host.mtf_rle2_encode(m_h, eob)
+    assert int(pidx) == pidx_h
+    assert int(count) == len(s_h)
+    assert (np.asarray(syms)[:len(s_h)] == s_h.astype(np.int64)).all()
+
+
+@pytest.mark.parametrize('n_devices', [2, 8])
+def test_sharded_block_encode(n_devices):
+    if jax.device_count() < n_devices:
+        pytest.skip('need %d devices' % n_devices)
+    from compressjs_tpu.parallel import mesh as pmesh
+    n = 1024
+    raw = np.stack([_data(n, i) for i in range(n_devices)])
+    blocks, remaps, eobs = pmesh.prepare_blocks(list(raw))
+    m = pmesh.make_mesh(jax.devices()[:n_devices])
+    pidx, syms, count, freq, all_counts = pmesh.sharded_block_encode(
+        m, jnp.asarray(blocks), jnp.asarray(remaps), jnp.asarray(eobs))
+    counts = np.asarray(count)
+    assert np.asarray(all_counts).shape == (n_devices,)
+    # every shard's result must equal the host pipeline's
+    for b in range(n_devices):
+        U = np.zeros(n, np.uint8)
+        pidx_h = bwt_host.bwtransform2(raw[b], U, n, 256)
+        alpha = mtf_host.used_alphabet(raw[b])
+        s_h = rle_host.mtf_rle2_encode(
+            mtf_host.mtf_encode(U, alpha), len(alpha) + 1)
+        assert int(np.asarray(pidx)[b]) == pidx_h
+        assert int(counts[b]) == len(s_h)
+        assert (np.asarray(syms)[b][:len(s_h)] == s_h.astype(np.int64)).all()
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert len(out) == 4
+    g.dryrun_multichip(min(8, jax.device_count()))
+
+
+def test_device_pipeline_byte_parity(ref_samples):
+    from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
+    from compressjs_tpu.codecs import bzip2
+    data = ref_samples['sample2']
+    host = bytes(bzip2.compress_file(data, None, 1))
+    for mode in ('hybrid', 'full'):
+        dev = bytes(DeviceBzip2Encoder(1, mode).compress(data))
+        assert dev == host, mode
