@@ -63,6 +63,7 @@ def _load():
             ctypes.c_int32, _p_u8, _p_u8, _i64]
         lib.cz_bz2_decode_block.restype = _i64
         lib.cz_inverse_bwt.argtypes = [_p_u8, _i64, _i64, _p_u8]
+        lib.cz_inverse_bwt_eof.argtypes = [_p_u8, _p_u8, _i64, _i64]
         lib.cz_rle1_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
         lib.cz_rle1_decode.restype = _i64
         lib.cz_rle1_encode.argtypes = [_p_u8, _i64, _i64, _p_u8,
@@ -171,6 +172,15 @@ def bz2_decode_block(data, bitpos, selectors, minlen, maxlen, limit, base,
     if r < 0:
         raise ValueError('Data error')
     return dbuf[:r], int(pos.value)
+
+
+def inverse_bwt_eof(T, pidx):
+    """Invert the EOF-terminated BWT."""
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    out = np.empty(T.shape[0], dtype=np.uint8)
+    lib.cz_inverse_bwt_eof(T, out, T.shape[0], pidx)
+    return out
 
 
 def inverse_bwt(U, pidx):

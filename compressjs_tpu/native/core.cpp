@@ -452,6 +452,26 @@ void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
   }
 }
 
+// Inverse EOF-terminated BWT (reference unbwtransform contract,
+// BWT.js:352-363): T is the BWT column, U the output, pidx from the
+// forward transform.
+void cz_inverse_bwt_eof(const uint8_t* T, uint8_t* U, int64_t n,
+                        int64_t pidx) {
+  std::vector<int64_t> lf(n);
+  int64_t cnt[256] = {0};
+  for (int64_t i = 0; i < n; i++) lf[i] = cnt[T[i]]++;
+  int64_t starts[256];
+  int64_t sum = 0;
+  for (int c = 0; c < 256; c++) { starts[c] = sum; sum += cnt[c]; }
+  int64_t t = 0;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    uint8_t ch = T[t];
+    U[i] = ch;
+    t = lf[t] + starts[ch];
+    if (t < pidx) t++;
+  }
+}
+
 // RLE1 encode: pack runs of >=4 equal bytes as [v,v,v,v,count<=251] into
 // a block of at most block_size output bytes, with the exact lazy
 // count-byte / block-cut semantics of the bzip2 readBlock loop

@@ -151,8 +151,13 @@ def unbwtransform(T, U, LF, n, pidx):
 
     The reference walks the LF chain byte-by-byte from the end; here the
     chain is a permutation orbit, computed by orbit doubling: log2(n)
-    rounds of `seq = concat(seq, f[seq])` with `f = f∘f` — all gathers."""
+    rounds of `seq = concat(seq, f[seq])` with `f = f∘f` — all gathers.
+    The native runtime's direct LF walk is used when present."""
     T = np.asarray(T)[:n]
+    if _use_native() and n > 4096:
+        U[:n] = _native.inverse_bwt_eof(T, pidx)
+        LF[:n] = _exclusive_running_count(T)  # contract: LF = occ counts
+        return
     counts = np.bincount(T, minlength=256)
     occ = _exclusive_running_count(T)           # LF[i] in the reference
     LF[:n] = occ
