@@ -41,6 +41,18 @@ def expand_params(props):
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     lempel_size, expand = expand_params(props)
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        data = in_stream.read_array(file_size)
+        out_stream.write_array(native.lzjb_encode(data, lempel_size,
+                                                  expand))
+        return
     lempel = [0] * (lempel_size * expand)
 
     window = bytearray(OFFSET_MASK + 1)
@@ -158,6 +170,17 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 
 
 def _decompress_guts(in_stream, out_stream, out_size):
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and out_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        data = in_stream.read_array(in_stream.size - in_stream.pos)
+        out = native.lzjb_decode(data, out_size)
+        out_stream.write(out, 0, len(out))
+        return
     window = bytearray(OFFSET_MASK + 1)
     wlen = OFFSET_MASK + 1
     windowpos = 0

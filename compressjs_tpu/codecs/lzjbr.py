@@ -45,10 +45,24 @@ def _make_models(coder, size_hint_eof):
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     lempel_size, expand = expand_params(props)
-    lempel = [0] * (lempel_size * expand)
-
     encoder = RangeCoder(out_stream)
     encoder.encode_start(final_byte, 1)
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        data = in_stream.read_array(file_size)
+        st = encoder.export_enc_state()
+        payload = native.lzjbr_encode(data, lempel_size, expand, st)
+        out_stream.write_array(payload)
+        encoder.import_enc_state(st)
+        encoder.encode_finish()
+        return
+    lempel = [0] * (lempel_size * expand)
 
     window = bytearray(OFFSET_MASK + 1)
     wlen = OFFSET_MASK + 1
@@ -158,12 +172,24 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 
 
 def _decompress_guts(in_stream, out_stream, out_size):
+    decoder = RangeCoder(in_stream)
+    decoder.decode_start(True)
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and out_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        st = decoder.export_dec_state(in_stream.pos)
+        out = native.lzjbr_decode(in_stream.data, st, out_size)
+        in_stream.pos = decoder.import_dec_state(st)
+        out_stream.write(out, 0, out_size)
+        decoder.decode_finish()
+        return
     window = bytearray(OFFSET_MASK + 1)
     wlen = OFFSET_MASK + 1
     windowpos = 0
-
-    decoder = RangeCoder(in_stream)
-    decoder.decode_start(True)
 
     literal_model, len_model, pos_model = _make_models(decoder, out_size < 0)
     last_char = 0x20

@@ -160,6 +160,22 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     else:
         rc = RangeCoder(out_stream)
         rc.encode_start(0x00, 0)  # 0x00 flags range-coded
+        try:
+            from .. import native
+        except Exception:
+            native = None
+        from ..utils.stream import ArrayInputStream
+        if (native is not None and native.available() and file_size >= 0
+                and not USE_DEFSUM
+                and isinstance(in_stream, ArrayInputStream)
+                and hasattr(out_stream, 'write_array')):
+            data = in_stream.read_array(file_size)
+            st = rc.export_enc_state()
+            payload = native.lzp3_encode(data, st)
+            out_stream.write_array(payload)
+            rc.import_enc_state(st)
+            rc.encode_finish()
+            return
         literal, lens = _make_coders(file_size, rc)
 
         def flush():
@@ -225,6 +241,20 @@ def _decompress_guts(in_stream, out_stream, file_size):
     else:
         rc = RangeCoder(in_stream)
         rc.decode_start(True)
+        try:
+            from .. import native
+        except Exception:
+            native = None
+        from ..utils.stream import ArrayInputStream
+        if (native is not None and native.available() and file_size >= 0
+                and not USE_DEFSUM
+                and isinstance(in_stream, ArrayInputStream)):
+            st = rc.export_dec_state(in_stream.pos)
+            out = native.lzp3_decode(in_stream.data, st, file_size)
+            in_stream.pos = rc.import_dec_state(st)
+            out_stream.write(out, 0, file_size)
+            rc.decode_finish()
+            return
         literal, lens = _make_coders(file_size, rc)
 
         def finish():

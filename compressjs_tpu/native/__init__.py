@@ -98,6 +98,20 @@ def _load():
         lib.cz_order0_fenwick_decode.argtypes = [
             _p_u8, _i64, _p_i64, ctypes.c_int32, _p_u8, _i64]
         lib.cz_order0_fenwick_decode.restype = _i64
+        lib.cz_lzjb_encode.argtypes = [_p_u8, _i64, ctypes.c_int32,
+                                       ctypes.c_int32, _p_u8]
+        lib.cz_lzjb_encode.restype = _i64
+        lib.cz_lzjb_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
+        lib.cz_lzjb_decode.restype = _i64
+        lib.cz_lzjbr_encode.argtypes = [_p_u8, _i64, ctypes.c_int32,
+                                        ctypes.c_int32, _p_i64, _p_u8]
+        lib.cz_lzjbr_encode.restype = _i64
+        lib.cz_lzjbr_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
+        lib.cz_lzjbr_decode.restype = _i64
+        lib.cz_lzp3_encode.argtypes = [_p_u8, _i64, _p_i64, _p_u8]
+        lib.cz_lzp3_encode.restype = _i64
+        lib.cz_lzp3_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
+        lib.cz_lzp3_decode.restype = _i64
         _lib = lib
         return _lib
 
@@ -292,6 +306,56 @@ def order0_fenwick_decode(data, dec_state, size, n):
     out = np.empty(n, dtype=np.uint8)
     lib.cz_order0_fenwick_decode(data, data.shape[0], dec_state,
                                  np.int32(size), out, n)
+    return out
+
+
+def lzjb_encode(data, lempel_size, expand):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + 1024, dtype=np.uint8)
+    n = lib.cz_lzjb_encode(data, data.shape[0], np.int32(lempel_size),
+                           np.int32(expand), out)
+    return out[:n]
+
+
+def lzjb_decode(data, out_size):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(out_size, dtype=np.uint8)
+    n = lib.cz_lzjb_decode(data, data.shape[0], out, out_size)
+    return out[:n]
+
+
+def lzjbr_encode(data, lempel_size, expand, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + 65536, dtype=np.uint8)
+    n = lib.cz_lzjbr_encode(data, data.shape[0], np.int32(lempel_size),
+                            np.int32(expand), enc_state, out)
+    return out[:n]
+
+
+def lzjbr_decode(data, dec_state, out_size):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(out_size, dtype=np.uint8)
+    lib.cz_lzjbr_decode(data, data.shape[0], dec_state, out, out_size)
+    return out
+
+
+def lzp3_encode(data, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + 65536, dtype=np.uint8)
+    n = lib.cz_lzp3_encode(data, data.shape[0], enc_state, out)
+    return out[:n]
+
+
+def lzp3_decode(data, dec_state, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_lzp3_decode(data, data.shape[0], dec_state, out, n)
     return out
 
 

@@ -828,9 +828,558 @@ struct DefSum {
   }
 };
 
+// --- composite models over the range coder -------------------------------
+
+// fixed-width bit coding through the coder's bit interface (NoModel)
+struct NoModelRC {
+  int bits;
+  explicit NoModelRC(int32_t size) {
+    bits = 0;
+    int64_t v = (int64_t)size - 1;
+    while (v > 0) { bits++; v >>= 1; }
+  }
+  void encode(Enc& e, int32_t symbol) {
+    for (int i = bits - 1; i >= 0; i--)
+      e.encode_shift(1, (symbol >> i) & 1, 1);
+  }
+  int32_t decode(Dec& d) {
+    int32_t r = 0;
+    for (int i = bits - 1; i >= 0; i--) {
+      uint32_t t = d.decode_cul_shift(1);
+      d.update(1, t, 2);
+      r = (r << 1) | (int32_t)t;
+    }
+    return r;
+  }
+};
+
+// log-distance model: fls through one Fenwick (+extra states), low bits
+// through per-length Fenwick or NoModel above `cutoff`
+struct LogDistModel {
+  int extra;
+  Fenwick lg;
+  std::vector<Fenwick> dist;     // index i-2 for i in [2, bits]
+  std::vector<NoModelRC> nodist;
+  std::vector<int> use_no;       // per i: 1 if NoModel
+  int bits;
+
+  static int fls_i(int64_t v) {
+    int r = 0;
+    while (v > 0) { r++; v >>= 1; }
+    return r;
+  }
+
+  LogDistModel(int64_t size, int extra_states, int32_t cutoff,
+               uint32_t maxp, uint32_t incr)
+      : extra(extra_states),
+        lg((int32_t)(fls_i(size - 1) + extra_states + 1), maxp, incr),
+        bits(fls_i(size - 1)) {
+    // NOTE: Fenwick(size) models alphabet `size` with its own escape; the
+    // framework's factories are called with the alphabet size directly,
+    // so lg gets (1 + bits + extra) and dist[i] gets (1 << (i-1)).
+    for (int i = 2; i <= bits; i++) {
+      int64_t sz = 1LL << (i - 1);
+      use_no.push_back(sz > cutoff);
+      if (sz > cutoff) {
+        nodist.emplace_back((int32_t)sz);
+        dist.emplace_back(1, maxp, incr);  // placeholder
+      } else {
+        nodist.emplace_back(1);
+        dist.emplace_back((int32_t)sz, maxp, incr);
+      }
+    }
+  }
+  void encode(Enc& e, int64_t v) {
+    if (v < 2) { lg.encode(e, (int32_t)(v + extra)); return; }
+    int l = fls_i(v);
+    lg.encode(e, l + extra);
+    int64_t rest = v & ((1LL << (l - 1)) - 1);
+    if (use_no[l - 2]) nodist[l - 2].encode(e, (int32_t)rest);
+    else dist[l - 2].encode(e, (int32_t)rest);
+  }
+  int64_t decode(Dec& d) {
+    int l = lg.decode(d) - extra;
+    if (l < 2) return l;
+    int64_t rest = use_no[l - 2] ? nodist[l - 2].decode(d)
+                                 : dist[l - 2].decode(d);
+    return (1LL << (l - 1)) + rest;
+  }
+};
+
 }  // namespace rc
 
+// --- LZP3 ----------------------------------------------------------------
+
+namespace lzp3 {
+
+constexpr int LOG_WINDOW = 20;
+constexpr int64_t WINDOW = 1LL << LOG_WINDOW;
+constexpr int64_t MAX_MATCH = WINDOW - 1;
+constexpr uint32_t CTXT4_SIZE = 1 << 16;
+constexpr uint32_t CTXT3_SIZE = 1 << 12;
+constexpr uint32_t MAX24 = 0xFFFFFF;
+constexpr uint32_t MAX16 = 0xFFFF;
+constexpr int32_t LEN_CUTOFF = 256;
+
+struct Window {
+  std::vector<uint8_t> buf;
+  int64_t pos = 0;
+  std::vector<int64_t> c4, c3, c2;
+
+  explicit Window(int64_t max_size)
+      : buf(std::min(max_size + 4, WINDOW), 0),
+        c4(CTXT4_SIZE, 0), c3(CTXT3_SIZE, 0), c2(1 << 16, 0) {
+    put(0x63); put(0x53); put(0x61); put(0x20);
+  }
+  void ensure(int64_t i) {
+    if (i >= (int64_t)buf.size()) {
+      int64_t need = std::min(std::max(i + 1, (int64_t)buf.size() * 2),
+                              WINDOW);
+      buf.resize(need, 0);
+    }
+  }
+  uint8_t put(uint8_t b) {
+    ensure(pos);
+    buf[pos++] = b;
+    if (pos >= WINDOW) pos = 0;
+    return b;
+  }
+  uint8_t get(int64_t p) const {
+    int64_t i = p & (WINDOW - 1);
+    return i < (int64_t)buf.size() ? buf[i] : 0;
+  }
+  uint32_t context(int64_t p, int n) const {
+    uint32_t c = 0;
+    int64_t q = (p - n) & (WINDOW - 1);
+    for (int i = 0; i < n; i++) {
+      c = (c << 8) | get(q);
+      q++;
+      if (q >= WINDOW) q = 0;
+    }
+    return c;
+  }
+  int64_t get_index(int64_t s, int64_t match_len) {
+    uint32_t c = context(s, 4);
+    uint32_t h4 = ((c >> 15) ^ c) & (CTXT4_SIZE - 1);
+    uint32_t h3 = ((c >> 11) ^ c) & (CTXT3_SIZE - 1);
+    uint32_t h2 = c & MAX16;
+    int64_t p = 0;
+    if (match_len == 0) {
+      p = c4[h4];
+      if (p != 0 && c != context(p - 1, 4)) p = 0;
+      if (p == 0) {
+        p = c3[h3];
+        if (p != 0 && (c & MAX24) != context(p - 1, 3)) p = 0;
+        if (p == 0) {
+          p = c2[h2];
+          // reproduce the reference's (c && MAX16) confirmation quirk
+          uint32_t confirm = c ? MAX16 : 0;
+          if (p != 0 && confirm != context(p - 1, 2)) p = 0;
+        }
+      }
+    }
+    if (match_len) match_len--;
+    int64_t val = (s | (match_len << LOG_WINDOW)) + 1;
+    c4[h4] = val; c3[h3] = val; c2[h2] = val;
+    return p;
+  }
+};
+
+}  // namespace lzp3
+
 extern "C" {
+
+// LZP3 encode body (after the 0x00 coder-mode byte; the caller wrote the
+// container).  data: input bytes; enc_state/out as in the BWTC entry.
+// Returns bytes written.
+int64_t cz_lzp3_encode(const uint8_t* data, int64_t n, int64_t* enc_state,
+                       uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  lzp3::Window w(n);
+  // literal model: order-1 context of 256 Fenwicks over alphabet 256
+  std::vector<rc::Fenwick> lit;
+  lit.reserve(256);
+  for (int i = 0; i < 256; i++) lit.emplace_back(256, 0xFF00, 0x100);
+  std::vector<rc::LogDistModel> lens;
+  lens.reserve(16);
+  for (int i = 0; i < 16; i++)
+    lens.emplace_back(lzp3::MAX_MATCH + 1, 1, lzp3::LEN_CUTOFF,
+                      0xFF00, 0x100);
+  int64_t i = 0;
+  uint32_t match_context = 0;
+  while (i < n) {
+    int64_t ch = data[i];
+    int64_t consumed_this = 1;
+    int64_t s = w.pos;
+    int64_t p = w.get_index(s, 0);
+    if (p != 0) {
+      p--;
+      int64_t prev_len = (p >> lzp3::LOG_WINDOW) + 1;
+      int64_t match_len = 0;
+      while (i + match_len < n && w.get(p + match_len) == data[i + match_len]
+             && match_len < lzp3::MAX_MATCH) {
+        w.put(data[i + match_len]);
+        match_len++;
+      }
+      auto& lm = lens[match_context & 15];
+      if (prev_len == match_len) lm.encode(e, -1);
+      else lm.encode(e, match_len);
+      w.get_index(s, match_len);
+      i += match_len;
+      match_context <<= 1;
+      if (match_len > 0) match_context |= 1;
+      if (i >= n) break;  // EOF right after match; size is known
+      ch = data[i];
+    }
+    uint8_t context1 = w.get(w.pos - 1);
+    lit[context1].encode(e, (int32_t)ch);
+    w.put((uint8_t)ch);
+    i++;
+    (void)consumed_this;
+  }
+  e.store(enc_state);
+  return e.outlen;
+}
+
+// --- LZJB family ---------------------------------------------------------
+// Multi-candidate match finder (EXPAND slots per hash bucket), inlined in
+// both variants below; C_COMPAT keeps offset 0 unusable in classic LZJB.
+
+// LZJB classic: copymap bytes + 2-byte matches.  Returns output length.
+int64_t cz_lzjb_encode(const uint8_t* data, int64_t n, int32_t lempel_size,
+                       int32_t expand, uint8_t* out) {
+  std::vector<uint16_t> lempel((size_t)lempel_size * expand, 0);
+  uint8_t window[1 << 10];
+  std::memset(window, 0, sizeof window);
+  const int WLEN = 1 << 10;
+  const int OFFSET_MASK = WLEN - 1;
+  int64_t windowpos = 0;
+  int64_t i = 0;
+  int64_t o = 0;
+  int copymask = 1 << 7;
+  int64_t mapbyte = -1;
+  int matches[512];
+  while (i < n) {
+    int c1 = data[i];
+    copymask <<= 1;
+    if (copymask == (1 << 8)) {
+      copymask = 1;
+      mapbyte = o;
+      out[o++] = 0;
+    }
+    if (i + 2 >= n) {
+      // fewer than 3 bytes left: literals
+      out[o++] = (uint8_t)c1;
+      window[windowpos++ & OFFSET_MASK] = (uint8_t)c1;
+      windowpos &= OFFSET_MASK;
+      i++;
+      continue;
+    }
+    int c2 = data[i + 1], c3 = data[i + 2];
+    uint32_t h = ((uint32_t)c1 << 16) + ((uint32_t)c2 << 8) + (uint32_t)c3;
+    h ^= (h >> 9);
+    h += (h >> 5);
+    h ^= (uint32_t)c1;
+    int64_t hp = (int64_t)(h & (lempel_size - 1)) * expand;
+    int nmatch = 0;
+    for (int j = 0; j < expand; j++) {
+      int offset = (int)((windowpos - lempel[hp + j]) & OFFSET_MASK);
+      int64_t cpy = WLEN + windowpos - offset;
+      int w1 = window[cpy & OFFSET_MASK];
+      int w2 = window[(cpy + 1) & OFFSET_MASK];
+      int w3 = window[(cpy + 2) & OFFSET_MASK];
+      if (offset == 0) w1 = c1 ^ 1;      // C_COMPAT: offset 0 unusable
+      else if (offset == 1) { w2 = c1; w3 = c2; }
+      else if (offset == 2) { w3 = c1; }
+      if (c1 == w1 && c2 == w2 && c3 == w3) matches[nmatch++] = offset;
+    }
+    for (int j = expand - 1; j > 0; j--) lempel[hp + j] = lempel[hp + j - 1];
+    lempel[hp] = (uint16_t)windowpos;
+    if (nmatch == 0) {
+      out[o++] = (uint8_t)c1;
+      window[windowpos++ & OFFSET_MASK] = (uint8_t)c1;
+      windowpos &= OFFSET_MASK;
+      i++;
+    } else {
+      out[mapbyte] |= (uint8_t)copymask;
+      for (int k = 0; k < 3; k++) {
+        window[windowpos++ & OFFSET_MASK] = data[i + k];
+        windowpos &= OFFSET_MASK;
+      }
+      int last = matches[0];
+      int mlen = 3;
+      int64_t base = WLEN + windowpos;
+      int64_t ip = i + 3;
+      while (mlen < 66) {
+        if (ip >= n) break;
+        int c4 = data[ip];
+        int j = 0;
+        while (j < nmatch) {
+          int w4 = window[(base - matches[j]) & OFFSET_MASK];
+          if (c4 != w4) {
+            last = matches[j];
+            for (int k = j; k < nmatch - 1; k++) matches[k] = matches[k + 1];
+            nmatch--;
+          } else {
+            j++;
+          }
+        }
+        if (nmatch == 0) break;
+        window[windowpos++ & OFFSET_MASK] = (uint8_t)c4;
+        windowpos &= OFFSET_MASK;
+        ip++;
+        mlen++;
+        base++;
+      }
+      if (nmatch != 0) last = matches[0];
+      out[o++] = (uint8_t)(((mlen - 3) << 2) | (last >> 8));
+      out[o++] = (uint8_t)(last & 0xFF);
+      i += mlen;
+    }
+  }
+  return o;
+}
+
+int64_t cz_lzjb_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t out_size) {
+  uint8_t window[1 << 10];
+  std::memset(window, 0, sizeof window);
+  const int WLEN = 1 << 10;
+  int64_t windowpos = 0;
+  int copymask = 1 << 7;
+  int copymap = 0;
+  int64_t i = 0, o = 0;
+  while (o != out_size && i < n) {
+    int c = in[i++];
+    copymask <<= 1;
+    if (copymask == (1 << 8)) {
+      copymask = 1;
+      copymap = c;
+      if (i >= n) break;
+      c = in[i++];
+    }
+    if (copymap & copymask) {
+      int mlen = (c >> 2) + 3;
+      if (i >= n) break;
+      int offset = (((c << 8) | in[i++]) & (WLEN - 1));
+      int64_t cpy = windowpos - offset;
+      if (cpy < 0) cpy += WLEN;
+      while (mlen-- > 0 && o < out_size) {
+        uint8_t b = window[cpy++];
+        window[windowpos++] = b;
+        out[o++] = b;
+        if (windowpos >= WLEN) windowpos = 0;
+        if (cpy >= WLEN) cpy = 0;
+      }
+    } else {
+      out[o++] = (uint8_t)c;
+      window[windowpos++] = (uint8_t)c;
+      if (windowpos >= WLEN) windowpos = 0;
+    }
+  }
+  return o;
+}
+
+// LZJB-R: same parse, range-coded.  Returns bytes written.
+int64_t cz_lzjbr_encode(const uint8_t* data, int64_t n,
+                        int32_t lempel_size, int32_t expand,
+                        int64_t* enc_state, uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  std::vector<uint16_t> lempel((size_t)lempel_size * expand, 0);
+  uint8_t window[1 << 10];
+  std::memset(window, 0, sizeof window);
+  const int WLEN = 1 << 10;
+  const int OFFSET_MASK = WLEN - 1;
+  const int MATCH = 256;
+  // literal: order-1 context of 256 Fenwicks over 257 (MATCH+1)
+  std::vector<rc::Fenwick> lit;
+  lit.reserve(256);
+  for (int i = 0; i < 256; i++) lit.emplace_back(MATCH + 1, 0xFF00, 0x100);
+  rc::LogDistModel len_model(64, 0, 32, 0xFF00, 0x100);
+  rc::LogDistModel pos_model(WLEN, 1, 32, 0xFF00, 0x100);
+  int64_t windowpos = 0;
+  int64_t i = 0;
+  int last_char = 0x20;
+  int last_offset = 0;
+  int matches[512];
+  while (i < n) {
+    int64_t initial_pos = windowpos;
+    int c1 = data[i];
+    if (i + 2 >= n) {
+      window[windowpos++ & OFFSET_MASK] = (uint8_t)c1;
+      windowpos &= OFFSET_MASK;
+      lit[last_char].encode(e, c1);
+      last_char = c1;
+      i++;
+      continue;
+    }
+    int c2 = data[i + 1], c3 = data[i + 2];
+    uint32_t h = ((uint32_t)c1 << 16) + ((uint32_t)c2 << 8) + (uint32_t)c3;
+    h ^= (h >> 9);
+    h += (h >> 5);
+    h ^= (uint32_t)c1;
+    int64_t hp = (int64_t)(h & (lempel_size - 1)) * expand;
+    int nmatch = 0;
+    for (int j = 0; j < expand; j++) {
+      int offset = (int)((windowpos - lempel[hp + j]) & OFFSET_MASK);
+      int64_t cpy = WLEN + windowpos - offset;
+      int w1 = window[cpy & OFFSET_MASK];
+      int w2 = window[(cpy + 1) & OFFSET_MASK];
+      int w3 = window[(cpy + 2) & OFFSET_MASK];
+      if (offset == 1) { w2 = c1; w3 = c2; }
+      else if (offset == 2) { w3 = c1; }
+      if (c1 == w1 && c2 == w2 && c3 == w3) matches[nmatch++] = offset;
+    }
+    for (int j = expand - 1; j > 0; j--) lempel[hp + j] = lempel[hp + j - 1];
+    lempel[hp] = (uint16_t)windowpos;
+    if (nmatch == 0) {
+      window[windowpos++ & OFFSET_MASK] = (uint8_t)c1;
+      windowpos &= OFFSET_MASK;
+      lit[last_char].encode(e, c1);
+      last_char = c1;
+      i++;
+    } else {
+      lit[last_char].encode(e, MATCH);
+      for (int k = 0; k < 3; k++) {
+        window[windowpos++ & OFFSET_MASK] = data[i + k];
+        windowpos &= OFFSET_MASK;
+      }
+      last_char = c3;
+      int last = matches[0];
+      int mlen = 3;
+      int64_t base = WLEN + windowpos;
+      int64_t ip = i + 3;
+      while (mlen < 66) {
+        if (ip >= n) break;
+        int c4 = data[ip];
+        int j = 0;
+        while (j < nmatch) {
+          int w4 = window[(base - matches[j]) & OFFSET_MASK];
+          if (c4 != w4) {
+            last = matches[j];
+            for (int k = j; k < nmatch - 1; k++) matches[k] = matches[k + 1];
+            nmatch--;
+          } else {
+            j++;
+          }
+        }
+        if (nmatch == 0) break;
+        window[windowpos++ & OFFSET_MASK] = (uint8_t)c4;
+        windowpos &= OFFSET_MASK;
+        last_char = c4;
+        ip++;
+        mlen++;
+        base++;
+      }
+      if (nmatch != 0) last = matches[0];
+      len_model.encode(e, mlen - 3);
+      int offset = (int)((initial_pos - last) & OFFSET_MASK);
+      if (offset == last_offset) {
+        pos_model.encode(e, -1);
+      } else {
+        pos_model.encode(e, offset);
+        last_offset = offset;
+      }
+      i += mlen;
+    }
+  }
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_lzjbr_decode(const uint8_t* in, int64_t in_len,
+                        int64_t* dec_state, uint8_t* out,
+                        int64_t out_size) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  uint8_t window[1 << 10];
+  std::memset(window, 0, sizeof window);
+  const int WLEN = 1 << 10;
+  const int MATCH = 256;
+  std::vector<rc::Fenwick> lit;
+  lit.reserve(256);
+  for (int i = 0; i < 256; i++) lit.emplace_back(MATCH + 1, 0xFF00, 0x100);
+  rc::LogDistModel len_model(64, 0, 32, 0xFF00, 0x100);
+  rc::LogDistModel pos_model(WLEN, 1, 32, 0xFF00, 0x100);
+  int64_t windowpos = 0;
+  int last_char = 0x20;
+  int64_t last_offset = 0;
+  int64_t o = 0;
+  while (o != out_size) {
+    int32_t c = lit[last_char].decode(d);
+    if (c == MATCH) {
+      int64_t mlen = len_model.decode(d) + 3;
+      int64_t cpy = pos_model.decode(d);
+      if (cpy < 0) cpy = last_offset;
+      else last_offset = cpy;
+      while (mlen-- > 0) {
+        uint8_t b = window[cpy++];
+        last_char = b;
+        window[windowpos++] = b;
+        out[o++] = b;
+        if (windowpos >= WLEN) windowpos = 0;
+        if (cpy >= WLEN) cpy = 0;
+      }
+    } else {
+      out[o++] = (uint8_t)c;
+      last_char = c;
+      window[windowpos++] = (uint8_t)c;
+      if (windowpos >= WLEN) windowpos = 0;
+    }
+  }
+  d.store(dec_state);
+  return 0;
+}
+
+int64_t cz_lzp3_decode(const uint8_t* in, int64_t in_len,
+                       int64_t* dec_state, uint8_t* out, int64_t n) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  lzp3::Window w(n);
+  std::vector<rc::Fenwick> lit;
+  lit.reserve(256);
+  for (int i = 0; i < 256; i++) lit.emplace_back(256, 0xFF00, 0x100);
+  std::vector<rc::LogDistModel> lens;
+  lens.reserve(16);
+  for (int i = 0; i < 16; i++)
+    lens.emplace_back(lzp3::MAX_MATCH + 1, 1, lzp3::LEN_CUTOFF,
+                      0xFF00, 0x100);
+  int64_t o = 0;
+  uint32_t match_context = 0;
+  while (o < n) {
+    int64_t s = w.pos;
+    int64_t p = w.get_index(s, 0);
+    if (p != 0) {
+      p--;
+      int64_t prev_len = (p >> lzp3::LOG_WINDOW) + 1;
+      int64_t match_len = lens[match_context & 15].decode(d);
+      if (match_len < 0) match_len = prev_len;
+      for (int64_t k = 0; k < match_len; k++) {
+        uint8_t ch = w.get(p + k);
+        out[o++] = w.put(ch);
+      }
+      w.get_index(s, match_len);
+      match_context <<= 1;
+      if (match_len > 0) match_context |= 1;
+    }
+    if (o >= n) break;
+    uint8_t context1 = w.get(w.pos - 1);
+    int32_t ch = lit[context1].decode(d);
+    out[o++] = w.put((uint8_t)ch);
+  }
+  d.store(dec_state);
+  return 0;
+}
 
 // BWTC block body: RLE2-code the MTF index stream through a fresh
 // Fenwick (fast=0) or DefSum (fast=1) model on a shared range coder.
