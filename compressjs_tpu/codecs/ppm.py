@@ -296,6 +296,20 @@ class PPMModel:
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     coder = RangeCoder(out_stream)
     coder.encode_start(final_byte, 1)
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        data = in_stream.read_array(file_size)
+        st = coder.export_enc_state()
+        out_stream.write_array(native.ppm_encode(data, 256, -1, st))
+        coder.import_enc_state(st)
+        coder.encode_finish()
+        return
     model = PPMModel(coder, 257 if file_size < 0 else 256)
     util.compress_with_model(in_stream, file_size, model)
     coder.encode_finish()
@@ -304,6 +318,19 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 def _decompress_guts(in_stream, out_stream, file_size):
     coder = RangeCoder(in_stream)
     coder.decode_start(True)
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    from ..utils.stream import ArrayInputStream
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        st = coder.export_dec_state(in_stream.pos)
+        out = native.ppm_decode(in_stream.data, st, 256, file_size)
+        in_stream.pos = coder.import_dec_state(st)
+        out_stream.write(out, 0, file_size)
+        coder.decode_finish()
+        return
     model = PPMModel(coder, 257 if file_size < 0 else 256)
     util.decompress_with_model(out_stream, file_size, model)
     coder.decode_finish()

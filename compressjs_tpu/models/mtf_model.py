@@ -177,18 +177,45 @@ MAGIC = 'mtfm'
 
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
     coder = RangeCoder(out_stream)
     coder.encode_start(final_byte, 1)
-    model = MTFModel(coder, 257 if file_size < 0 else 256)
-    util.compress_with_model(in_stream, file_size, model)
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        data = in_stream.read_array(file_size)
+        st = coder.export_enc_state()
+        out_stream.write_array(native.order0_encode('mtf', data, 256, -1,
+                                                    st))
+        coder.import_enc_state(st)
+    else:
+        model = MTFModel(coder, 257 if file_size < 0 else 256)
+        util.compress_with_model(in_stream, file_size, model)
     coder.encode_finish()
 
 
 def _decompress_guts(in_stream, out_stream, file_size):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
     coder = RangeCoder(in_stream)
     coder.decode_start(True)
-    model = MTFModel(coder, 257 if file_size < 0 else 256)
-    util.decompress_with_model(out_stream, file_size, model)
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        st = coder.export_dec_state(in_stream.pos)
+        out = native.order0_decode('mtf', in_stream.data, st, 256,
+                                   file_size)
+        in_stream.pos = coder.import_dec_state(st)
+        out_stream.write(out, 0, file_size)
+    else:
+        model = MTFModel(coder, 257 if file_size < 0 else 256)
+        util.decompress_with_model(out_stream, file_size, model)
     coder.decode_finish()
 
 

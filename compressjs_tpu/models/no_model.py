@@ -36,6 +36,12 @@ MAGIC = 'nomo'
 
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
+    from ..utils.stream import ArrayInputStream
+    if file_size >= 0 and isinstance(in_stream, ArrayInputStream) \
+            and hasattr(out_stream, 'write_array'):
+        # alphabet 256 -> 8 bits per symbol, byte-aligned: a raw copy
+        out_stream.write_array(in_stream.read_array(file_size))
+        return
     bitstream = BitStream(out_stream)
     model = NoModel(bitstream, 257 if file_size < 0 else 256)
     util.compress_with_model(in_stream, file_size, model)
@@ -43,6 +49,11 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 
 
 def _decompress_guts(in_stream, out_stream, file_size):
+    from ..utils.stream import ArrayInputStream
+    if file_size >= 0 and isinstance(in_stream, ArrayInputStream):
+        out = in_stream.read_array(file_size)
+        out_stream.write(out, 0, len(out))
+        return
     bitstream = BitStream(in_stream)
     model = NoModel(bitstream, 257 if file_size < 0 else 256)
     util.decompress_with_model(out_stream, file_size, model)

@@ -108,6 +108,28 @@ def _load():
         lib.cz_lzjbr_encode.restype = _i64
         lib.cz_lzjbr_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
         lib.cz_lzjbr_decode.restype = _i64
+        for nm in ('cz_order0_mtf_encode', 'cz_order0_defsum_encode'):
+            getattr(lib, nm).argtypes = [
+                _p_u8, _i64, ctypes.c_int32, ctypes.c_int32, _p_i64, _p_u8]
+            getattr(lib, nm).restype = _i64
+        for nm in ('cz_order0_mtf_decode', 'cz_order0_defsum_decode'):
+            getattr(lib, nm).argtypes = [
+                _p_u8, _i64, _p_i64, ctypes.c_int32, _p_u8, _i64]
+            getattr(lib, nm).restype = _i64
+        lib.cz_dmc_encode.argtypes = [_p_u8, _i64, ctypes.c_int32,
+                                      ctypes.c_int32, _i64, _i64,
+                                      _p_i64, _p_u8]
+        lib.cz_dmc_encode.restype = _i64
+        lib.cz_dmc_decode.argtypes = [_p_u8, _i64, _p_i64,
+                                      ctypes.c_int32, _i64, _i64,
+                                      _p_u8, _i64]
+        lib.cz_dmc_decode.restype = _i64
+        lib.cz_ppm_encode.argtypes = [_p_u8, _i64, ctypes.c_int32,
+                                      ctypes.c_int32, _p_i64, _p_u8]
+        lib.cz_ppm_encode.restype = _i64
+        lib.cz_ppm_decode.argtypes = [_p_u8, _i64, _p_i64,
+                                      ctypes.c_int32, _p_u8, _i64]
+        lib.cz_ppm_decode.restype = _i64
         lib.cz_lzp3_encode.argtypes = [_p_u8, _i64, _p_i64, _p_u8]
         lib.cz_lzp3_encode.restype = _i64
         lib.cz_lzp3_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
@@ -340,6 +362,61 @@ def lzjbr_decode(data, dec_state, out_size):
     data = np.ascontiguousarray(data, dtype=np.uint8)
     out = np.empty(out_size, dtype=np.uint8)
     lib.cz_lzjbr_decode(data, data.shape[0], dec_state, out, out_size)
+    return out
+
+
+def order0_encode(kind, data, size, eof_sym, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 3 + 65536, dtype=np.uint8)
+    fn = getattr(lib, 'cz_order0_%s_encode' % kind)
+    n = fn(data, data.shape[0], np.int32(size), np.int32(eof_sym),
+           enc_state, out)
+    return out[:n]
+
+
+def order0_decode(kind, data, dec_state, size, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    fn = getattr(lib, 'cz_order0_%s_decode' % kind)
+    fn(data, data.shape[0], dec_state, np.int32(size), out, n)
+    return out
+
+
+def dmc_encode(data, size, eof_sym, min1, min2, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 3 + 65536, dtype=np.uint8)
+    n = lib.cz_dmc_encode(data, data.shape[0], np.int32(size),
+                          np.int32(eof_sym), min1, min2, enc_state, out)
+    return out[:n]
+
+
+def dmc_decode(data, dec_state, size, min1, min2, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_dmc_decode(data, data.shape[0], dec_state, np.int32(size),
+                      min1, min2, out, n)
+    return out
+
+
+def ppm_encode(data, size, eof_sym, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 3 + 65536, dtype=np.uint8)
+    n = lib.cz_ppm_encode(data, data.shape[0], np.int32(size),
+                          np.int32(eof_sym), enc_state, out)
+    return out[:n]
+
+
+def ppm_decode(data, dec_state, size, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_ppm_decode(data, data.shape[0], dec_state, np.int32(size),
+                      out, n)
     return out
 
 

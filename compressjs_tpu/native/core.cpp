@@ -15,6 +15,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
 
 namespace {
 
@@ -908,6 +909,453 @@ struct LogDistModel {
 
 }  // namespace rc
 
+// --- DMC -----------------------------------------------------------------
+// Byte-oriented dynamic Markov compression (mirrors codecs/dmc.py).
+
+namespace dmc {
+
+// MTF-list adaptive model (mirrors models/mtf_model.py, no better_escape)
+struct MTFModel {
+  std::vector<uint16_t> sym, prob;
+  int32_t seen = 1;
+  int32_t num_syms;
+  uint32_t max_prob, increment;
+
+  MTFModel(int32_t size, uint32_t maxp, uint32_t incr)
+      : sym(size + 1, 0), prob(size + 2, 0), num_syms(size),
+        max_prob(maxp), increment(incr) {
+    sym[0] = (uint16_t)size;  // escape
+    prob[1] = (uint16_t)increment;
+  }
+  void update_at(int32_t symbol, int32_t index, int32_t sy_f) {
+    int32_t j = index;
+    int32_t tot_f;
+    while (j < seen - 1) {
+      sym[j] = sym[j + 1];
+      prob[j] = (uint16_t)(prob[j + 1] - sy_f);
+      j++;
+    }
+    if (index < seen) {
+      sym[j] = (uint16_t)symbol;
+      prob[j] = (uint16_t)(prob[j + 1] - sy_f);
+      tot_f = prob[seen] + increment;
+      prob[seen] = (uint16_t)tot_f;
+      if (symbol == num_syms && seen >= num_syms) {
+        seen--;
+        tot_f = prob[seen];
+      }
+    } else {
+      tot_f = prob[seen];
+      sym[index] = (uint16_t)symbol;
+      prob[index] = (uint16_t)tot_f;
+      tot_f += increment;
+      seen++;
+      prob[seen] = (uint16_t)tot_f;
+    }
+    if ((uint32_t)tot_f >= max_prob) rescale();
+  }
+  void rescale() {
+    int32_t total = 0, j = 0;
+    bool no_escape = true;
+    for (int32_t i = 0; i < seen; i++) {
+      int32_t s = sym[i];
+      int32_t f = (prob[i + 1] - prob[i]) >> 1;
+      if (f > 0) {
+        if (s == num_syms) no_escape = false;
+        sym[j] = (uint16_t)s;
+        prob[j] = (uint16_t)total;
+        j++;
+        total += f;
+      }
+    }
+    prob[j] = (uint16_t)total;
+    seen = j;
+    if (no_escape && seen < num_syms)
+      update_at(num_syms, seen, 0);
+  }
+  void encode(rc::Enc& e, int32_t symbol) {
+    for (int32_t i = seen - 1; i >= 0; i--) {
+      if (sym[i] == symbol) {
+        int32_t lt_f = prob[i];
+        int32_t sy_f = prob[i + 1] - lt_f;
+        e.encode_freq(sy_f, lt_f, prob[seen]);
+        update_at(symbol, i, sy_f);
+        return;
+      }
+    }
+    encode(e, num_syms);  // escape
+    e.encode_freq(1, symbol, num_syms);
+    update_at(symbol, seen, 0);
+  }
+  int32_t decode(rc::Dec& d) {
+    int32_t tot_f = prob[seen];
+    int32_t p = (int32_t)d.decode_cul_freq(tot_f);
+    int32_t i = seen - 1;
+    while (i >= 0 && prob[i] > p) i--;
+    int32_t symbol = sym[i];
+    int32_t lt_f = prob[i];
+    int32_t sy_f = prob[i + 1] - lt_f;
+    d.update(sy_f, lt_f, tot_f);
+    update_at(symbol, i, sy_f);
+    if (symbol == num_syms) {
+      symbol = (int32_t)d.decode_cul_freq(num_syms);
+      d.update(1, symbol, num_syms);
+      update_at(symbol, seen, 0);
+    }
+    return symbol;
+  }
+};
+
+struct Node {
+  std::vector<int32_t> out;      // node indices
+  MTFModel model;
+  std::vector<uint16_t> count;
+  int64_t sum = 0;
+  Node(int32_t size) : out(size, 0), model(size, 0xFF00, 0x100),
+                       count(size, 0) {}
+};
+
+struct Markov {
+  std::vector<Node> nodes;
+  int32_t size;
+  int64_t min1, min2;
+  int32_t current = 0;
+
+  Markov(int32_t sz, int64_t m1, int64_t m2)
+      : size(sz), min1(m1), min2(m2) {
+    nodes.reserve(1024);
+    for (int32_t i = 0; i < sz; i++) nodes.emplace_back(sz);
+    for (int32_t i = 0; i < sz; i++)
+      for (int32_t j = 0; j < sz; j++) nodes[i].out[j] = j;
+  }
+  int32_t maybe_split(int32_t from, int32_t symbol, int32_t to) {
+    int64_t trans = nodes[from].count[symbol];
+    int64_t next_cnt = nodes[to].sum;
+    if (trans <= min1 || next_cnt - trans <= min2) return to;
+    int32_t nn = (int32_t)nodes.size();
+    nodes.emplace_back(size);
+    Node& node = nodes[nn];
+    node.out = nodes[to].out;
+    nodes[from].out[symbol] = nn;
+    node.sum = 0;
+    nodes[to].sum = 0;
+    for (int32_t i = 0; i < size; i++) {
+      // truncation matches the reference's float-to-U16 store
+      uint16_t share = (uint16_t)((double)nodes[to].count[i] * trans /
+                                  (double)next_cnt);
+      node.count[i] = share;
+      node.sum += share;
+      nodes[to].count[i] = (uint16_t)(nodes[to].count[i] - share);
+      nodes[to].sum += nodes[to].count[i];
+    }
+    return nn;
+  }
+  void advance(int32_t symbol) {
+    int32_t from = current;
+    int32_t to = nodes[from].out[symbol];
+    if (nodes[from].count[symbol] != 0xFFFF) {
+      nodes[from].count[symbol]++;
+      nodes[from].sum++;
+    }
+    current = maybe_split(from, symbol, to);
+  }
+};
+
+}  // namespace dmc
+
+// --- PPM -----------------------------------------------------------------
+// Method-D-ish PPM with full exclusion (mirrors codecs/ppm.py, itself the
+// behavior clone of the reference PPM.js).
+
+namespace ppm {
+
+constexpr int MAX_CONTEXT = 5;
+constexpr int LOG_WINDOW = 18;
+constexpr int64_t WINDOW = 1LL << LOG_WINDOW;
+constexpr int32_t INCR = 0x100;
+constexpr int32_t MAX_PROB = 0xFF00;
+
+struct Exclude {
+  bool ex[258] = {false};
+  int32_t total = 0;
+};
+
+struct DenseMTF {
+  std::vector<int32_t> sym;
+  std::vector<int32_t> prob;
+  int64_t refcount = 0;
+  int32_t size;
+
+  explicit DenseMTF(int32_t sz) : size(sz) {
+    sym = {sz};                 // escape
+    prob = {0, INCR};
+  }
+  int32_t rescale() {
+    int32_t seen = (int32_t)sym.size();
+    int32_t total = 0;
+    int32_t j = 0;
+    bool no_escape = true;
+    for (int32_t i = 0; i < seen; i++) {
+      int32_t s = sym[i];
+      int32_t f = (prob[i + 1] - prob[i]) >> 1;
+      if (f > 0) {
+        if (s == size) no_escape = false;
+        sym[j] = s;
+        prob[j] = total;
+        j++;
+        total += f;
+      }
+    }
+    prob[j] = total;
+    sym.resize(j);
+    prob.resize(j + 1);
+    if (no_escape && (int32_t)sym.size() < size)
+      total = update_at(size, (int32_t)sym.size(), 0, 1);
+    return total;
+  }
+  int32_t update_sym(int32_t symbol, int32_t incr) {
+    for (int32_t i = 0; i < (int32_t)sym.size(); i++)
+      if (sym[i] == symbol)
+        return update_at(symbol, i, prob[i + 1] - prob[i], incr);
+    return update_at(symbol, (int32_t)sym.size(), 0, incr);
+  }
+  int32_t update_at(int32_t symbol, int32_t index, int32_t sy_f,
+                    int32_t incr) {
+    int32_t seen = (int32_t)sym.size();
+    int32_t tot_f;
+    int32_t j = index;
+    for (; j < seen - 1; j++) {
+      sym[j] = sym[j + 1];
+      prob[j] = prob[j + 1] - sy_f;
+    }
+    if (index < seen) {
+      sym[j] = symbol;
+      prob[j] = prob[j + 1] - sy_f;
+      prob[seen] = tot_f = prob[seen] + incr;
+    } else {
+      tot_f = prob[seen];
+      sym.push_back(symbol);
+      prob.push_back(tot_f + incr);
+      prob[index] = tot_f;
+      tot_f += incr;
+      seen++;
+      if ((int32_t)sym.size() > size) {
+        for (int32_t i = 0; i < seen; i++) {
+          if (sym[i] == size) {
+            update_at(size, i, prob[i + 1] - prob[i], -1);
+            sym.pop_back();
+            prob.pop_back();
+            tot_f = prob.back();
+            break;
+          }
+        }
+      }
+    }
+    if (tot_f >= MAX_PROB) tot_f = rescale();
+    return tot_f;
+  }
+  // returns: 1 = coded, 0 = coded escape (literal came from this table's
+  // escape entry), -1 = symbol absent (escape coded, exclusions extended)
+  int32_t encode(rc::Enc& e, int32_t symbol, Exclude& ex) {
+    int32_t seen = (int32_t)sym.size();
+    int32_t ex_seen = 0, ex_tot = 0;
+    for (int32_t i = seen - 1; i >= 0; i--) {
+      int32_t lt_f = prob[i];
+      int32_t sy_f = prob[i + 1] - lt_f;
+      if (sym[i] == symbol) {
+        int32_t ex_lt = 0;
+        for (int32_t j = i - 1; j >= 0 && ex_seen < ex.total; j--) {
+          if (ex.ex[sym[j]]) {
+            ex_seen++;
+            int32_t f = prob[j + 1] - prob[j];
+            ex_lt += f;
+            ex_tot += f;
+          }
+        }
+        int32_t tot_f = prob[seen];
+        e.encode_freq(sy_f, lt_f - ex_lt, tot_f - ex_tot);
+        if (symbol == size) {
+          update_at(symbol, i, sy_f, INCR / 2);
+          return 0;
+        }
+        return 1;
+      } else if (ex.ex[sym[i]]) {
+        ex_seen++;
+        ex_tot += sy_f;
+      }
+    }
+    encode(e, size, ex);  // escape (always present here)
+    for (int32_t i = 0; i < (int32_t)sym.size() - 1; i++) {
+      if (!ex.ex[sym[i]]) {
+        ex.ex[sym[i]] = true;
+        ex.total++;
+      }
+    }
+    return -1;
+  }
+  int32_t decode(rc::Dec& d, Exclude& ex) {
+    int32_t seen = (int32_t)sym.size();
+    int32_t tot_f = prob[seen];
+    int32_t ex_seen = 0, ex_tot = 0;
+    for (int32_t i = seen - 1; i >= 0 && ex_seen < ex.total; i--) {
+      if (ex.ex[sym[i]]) {
+        ex_seen++;
+        ex_tot += prob[i + 1] - prob[i];
+      }
+    }
+    int32_t p = (int32_t)d.decode_cul_freq(tot_f - ex_tot) + ex_tot;
+    int32_t ex_lt = ex_tot;
+    int32_t i;
+    for (i = seen - 1; i >= 0; i--) {
+      if (ex.ex[sym[i]]) {
+        int32_t f = prob[i + 1] - prob[i];
+        ex_lt -= f;
+        p -= f;
+      } else if (prob[i] <= p) {
+        break;
+      }
+    }
+    int32_t symbol = sym[i];
+    int32_t lt_f = prob[i];
+    int32_t sy_f = prob[i + 1] - lt_f;
+    d.update(sy_f, lt_f - ex_lt, tot_f - ex_tot);
+    if (symbol < size) return symbol;
+    update_at(symbol, i, sy_f, INCR / 2);
+    for (int32_t k = 0; k < (int32_t)sym.size() - 1; k++) {
+      if (!ex.ex[sym[k]]) {
+        ex.ex[sym[k]] = true;
+        ex.total++;
+      }
+    }
+    return -1;
+  }
+};
+
+struct Model {
+  int32_t size;
+  std::vector<uint8_t> win;
+  int64_t pos = 0;
+  bool first_pass = true;
+  std::unordered_map<uint64_t, DenseMTF*> contexts;
+
+  explicit Model(int32_t sz) : size(sz), win(WINDOW, 0) {
+    const char* prime = "cSaCsA";
+    for (int i = 0; i < MAX_CONTEXT; i++) put((uint8_t)prime[i % 6]);
+    for (int i = 0; i < MAX_CONTEXT; i++) {
+      for (int j = 0; j <= i; j++) {
+        uint64_t cc = ctx_key(j + (MAX_CONTEXT - 1 - i), j);
+        auto it = contexts.find(cc);
+        if (it == contexts.end())
+          it = contexts.emplace(cc, new DenseMTF(size)).first;
+        it->second->refcount++;
+      }
+    }
+  }
+  ~Model() {
+    for (auto& kv : contexts) delete kv.second;
+  }
+  void put(uint8_t b) {
+    win[pos++] = b;
+    if (pos >= WINDOW) { pos = 0; first_pass = false; }
+  }
+  uint64_t ctx_key(int64_t p, int n) const {
+    // the n bytes ending just before p, tagged with the length
+    uint64_t k = 0;
+    int64_t q = (p - n) & (WINDOW - 1);
+    for (int i = 0; i < n; i++) {
+      k = (k << 8) | win[q];
+      q++;
+      if (q >= WINDOW) q = 0;
+    }
+    return k | ((uint64_t)(n + 1) << 41);
+  }
+  void update(int32_t symbol, int64_t at_pos, int c_match) {
+    for (int c = 0; c <= MAX_CONTEXT; c++) {
+      uint64_t cc = ctx_key(at_pos, c);
+      auto it = contexts.find(cc);
+      if (it == contexts.end())
+        it = contexts.emplace(cc, new DenseMTF(size)).first;
+      if (c >= c_match) it->second->update_sym(symbol, INCR / 2);
+      it->second->refcount++;
+    }
+    if (!first_pass) {
+      // GC contexts sliding out of the window: prefixes (length
+      // MAX_CONTEXT..0) of the bytes starting at pos
+      for (int c = MAX_CONTEXT; c >= 0; c--) {
+        uint64_t k = 0;
+        int64_t q = pos & (WINDOW - 1);
+        for (int i = 0; i < c; i++) {
+          k = (k << 8) | win[q & (WINDOW - 1)];
+          q++;
+          if (q >= WINDOW) q = 0;
+        }
+        uint64_t cc = k | ((uint64_t)(c + 1) << 41);
+        auto it = contexts.find(cc);
+        if (it != contexts.end()) {
+          if (--it->second->refcount <= 0) {
+            delete it->second;
+            contexts.erase(it);
+          }
+        }
+      }
+    }
+    put((uint8_t)symbol);
+  }
+  void cm1_encode(rc::Enc& e, int32_t symbol, Exclude& ex) {
+    int32_t lt_f = 0;
+    for (int32_t i = 0; i < symbol; i++)
+      if (!ex.ex[i]) lt_f++;
+    e.encode_freq(1, lt_f, size - ex.total);
+  }
+  int32_t cm1_decode(rc::Dec& d, Exclude& ex) {
+    int32_t tot = size - ex.total;
+    int32_t lt = (int32_t)d.decode_cul_freq(tot);
+    int32_t symbol = lt;
+    for (int32_t i = 0; i <= symbol; i++)
+      if (ex.ex[i]) symbol++;
+    d.update(1, lt, tot);
+    return symbol;
+  }
+  void encode(rc::Enc& e, int32_t symbol) {
+    int64_t p0 = pos;
+    Exclude ex;
+    int c;
+    for (c = MAX_CONTEXT; c >= 0; c--) {
+      auto it = contexts.find(ctx_key(p0, c));
+      if (it != contexts.end()) {
+        int32_t r = it->second->encode(e, symbol, ex);
+        if (r == 1) {
+          update(symbol, p0, c);
+          return;
+        }
+      }
+    }
+    cm1_encode(e, symbol, ex);
+    update(symbol, p0, c);  // c == -1
+  }
+  int32_t decode(rc::Dec& d) {
+    int64_t p0 = pos;
+    Exclude ex;
+    int c;
+    int32_t symbol = -1;
+    for (c = MAX_CONTEXT; c >= 0; c--) {
+      auto it = contexts.find(ctx_key(p0, c));
+      if (it != contexts.end()) {
+        symbol = it->second->decode(d, ex);
+        if (symbol >= 0) {
+          update(symbol, p0, c);
+          return symbol;
+        }
+      }
+    }
+    symbol = cm1_decode(d, ex);
+    update(symbol, p0, c);
+    return symbol;
+  }
+};
+
+}  // namespace ppm
+
 // --- LZP3 ----------------------------------------------------------------
 
 namespace lzp3 {
@@ -988,6 +1436,127 @@ struct Window {
 }  // namespace lzp3
 
 extern "C" {
+
+// Order-0 whole-stream coding with the MTF-list model ('mtfm' codec).
+int64_t cz_order0_mtf_encode(const uint8_t* data, int64_t n, int32_t size,
+                             int32_t eof_sym, int64_t* enc_state,
+                             uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  dmc::MTFModel m(size, 0xFF00, 0x100);
+  for (int64_t i = 0; i < n; i++) m.encode(e, data[i]);
+  if (eof_sym >= 0) m.encode(e, eof_sym);
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_order0_mtf_decode(const uint8_t* in, int64_t in_len,
+                             int64_t* dec_state, int32_t size,
+                             uint8_t* out, int64_t n) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  dmc::MTFModel m(size, 0xFF00, 0x100);
+  for (int64_t i = 0; i < n; i++) out[i] = (uint8_t)m.decode(d);
+  d.store(dec_state);
+  return 0;
+}
+
+// Order-0 whole-stream coding with the deferred-summation model ('dfsm').
+int64_t cz_order0_defsum_encode(const uint8_t* data, int64_t n,
+                                int32_t size, int32_t eof_sym,
+                                int64_t* enc_state, uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  rc::DefSum m(size, false);
+  for (int64_t i = 0; i < n; i++) m.encode(e, data[i]);
+  if (eof_sym >= 0) m.encode(e, eof_sym);
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_order0_defsum_decode(const uint8_t* in, int64_t in_len,
+                                int64_t* dec_state, int32_t size,
+                                uint8_t* out, int64_t n) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  rc::DefSum m(size, true);
+  for (int64_t i = 0; i < n; i++) out[i] = (uint8_t)m.decode(d);
+  d.store(dec_state);
+  return 0;
+}
+
+// DMC whole-stream coding.
+int64_t cz_dmc_encode(const uint8_t* data, int64_t n, int32_t size,
+                      int32_t eof_sym, int64_t min1, int64_t min2,
+                      int64_t* enc_state, uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  dmc::Markov mm(size, min1, min2);
+  for (int64_t i = 0; i < n; i++) {
+    mm.nodes[mm.current].model.encode(e, data[i]);
+    mm.advance(data[i]);
+  }
+  if (eof_sym >= 0) {
+    mm.nodes[mm.current].model.encode(e, eof_sym);
+    mm.advance(eof_sym);
+  }
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_dmc_decode(const uint8_t* in, int64_t in_len,
+                      int64_t* dec_state, int32_t size, int64_t min1,
+                      int64_t min2, uint8_t* out, int64_t n) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  dmc::Markov mm(size, min1, min2);
+  for (int64_t i = 0; i < n; i++) {
+    int32_t s = mm.nodes[mm.current].model.decode(d);
+    mm.advance(s);
+    out[i] = (uint8_t)s;
+  }
+  d.store(dec_state);
+  return 0;
+}
+
+// PPM whole-stream coding.  eof_sym >= 0 appends an EOF symbol.
+int64_t cz_ppm_encode(const uint8_t* data, int64_t n, int32_t size,
+                      int32_t eof_sym, int64_t* enc_state, uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  ppm::Model m(size);
+  for (int64_t i = 0; i < n; i++) m.encode(e, data[i]);
+  if (eof_sym >= 0) m.encode(e, eof_sym);
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_ppm_decode(const uint8_t* in, int64_t in_len,
+                      int64_t* dec_state, int32_t size, uint8_t* out,
+                      int64_t n) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  ppm::Model m(size);
+  for (int64_t i = 0; i < n; i++) out[i] = (uint8_t)m.decode(d);
+  d.store(dec_state);
+  return 0;
+}
 
 // LZP3 encode body (after the 0x00 coder-mode byte; the caller wrote the
 // container).  data: input bytes; enc_state/out as in the BWTC entry.

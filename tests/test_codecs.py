@@ -68,16 +68,38 @@ def test_full_matrix_sample4(name, level, ref_samples):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('name,level,ref_size', [
-    # reference README sizes on sample5 (BASELINE.md) — we must match
-    # or beat each one
-    ('Bzip2', 9, 275087),
-    ('BWTC', 9, 272997),
-    ('Lzjb', 9, 706210),
-    ('LzjbR', 9, 491476),
-    ('Lzp3', None, 292978),
-    ('Simple', None, 1479143),
+@pytest.mark.parametrize('name,level,ref_size,exact', [
+    # reference README sizes on sample5 (BASELINE.md): codecs whose
+    # adaptive pipelines are bit-exact clones must EQUAL the published
+    # size; bzip2's group heuristic may differ (ours compresses smaller)
+    ('Bzip2', 9, 275087, False),
+    ('Bzip2', 1, 341615, False),
+    ('BWTC', 9, 272997, True),
+    ('BWTC', 1, 345764, True),
+    ('Lzjb', 9, 706210, True),
+    ('Lzjb', 1, 758467, True),
+    ('LzjbR', 9, 491476, True),
+    ('LzjbR', 1, 523780, True),
+    ('Lzp3', None, 292978, True),
+    ('PPM', None, 297220, True),
+    ('Dmc', None, 434182, True),
+    ('Simple', None, 1479143, True),
 ])
-def test_size_parity_sample5(name, level, ref_size, ref_samples):
+def test_size_parity_sample5(name, level, ref_size, exact, ref_samples):
     size = roundtrip(_codec(name), ref_samples['sample5'], level)
-    assert size <= ref_size * 1.001, (name, size, ref_size)
+    if exact:
+        assert size == ref_size, (name, size, ref_size)
+    else:
+        assert size <= ref_size, (name, size, ref_size)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name,ref_size', [
+    ('FenwickModel', 1440645),
+    ('MTFModel', 1441763),
+    ('DefSumModel', 1491107),
+    ('NoModel', 2130648),
+])
+def test_model_codec_size_parity_sample5(name, ref_size, ref_samples):
+    size = roundtrip(_codec(name), ref_samples['sample5'])
+    assert size == ref_size, (name, size, ref_size)
