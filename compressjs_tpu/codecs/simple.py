@@ -18,6 +18,20 @@ MAX_BLOCK_SIZE = 1 << 17
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     encoder = RangeCoder(out_stream)
     encoder.encode_start(final_byte, 1)
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        data = in_stream.read_array(file_size)
+        st = encoder.export_enc_state()
+        out_stream.write_array(native.simple_encode(data, st))
+        encoder.import_enc_state(st)
+        encoder.encode_finish()
+        return
 
     block = np.zeros(MAX_BLOCK_SIZE, dtype=np.uint8)
     saw_eof = False
@@ -59,6 +73,19 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 def _decompress_guts(in_stream, out_stream, file_size):
     decoder = RangeCoder(in_stream)
     decoder.decode_start(True)
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        st = decoder.export_dec_state(in_stream.pos)
+        out = native.simple_decode(in_stream.data, st, file_size)
+        in_stream.pos = decoder.import_dec_state(st)
+        out_stream.write(out, 0, len(out))
+        decoder.decode_finish()
+        return
     while decoder.decode_bit():
         counts = np.zeros(256, dtype=np.int64)
         for i in range(256):

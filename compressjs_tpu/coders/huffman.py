@@ -284,6 +284,17 @@ MAGIC = 'huff'
 
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        out_stream.write_array(
+            native.huff_encode(in_stream.read_array(file_size)))
+        return
     bitstream = _BitStream(out_stream)
     alphabet_size = 257 if file_size < 0 else 256
     huff = Huffman(257, alphabet_size, bitstream, 8191)
@@ -292,6 +303,17 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 
 
 def _decompress_guts(in_stream, out_stream, file_size):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        data = in_stream.read_array(in_stream.size - in_stream.pos)
+        out = native.huff_decode(data, file_size)
+        out_stream.write(out, 0, file_size)
+        return
     bitstream = _BitStream(in_stream)
     alphabet_size = 257 if file_size < 0 else 256
     huff = Huffman(257, alphabet_size, bitstream, 8191)

@@ -27,6 +27,17 @@ MAGIC = 'ctx1'
 
 
 def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)
+            and hasattr(out_stream, 'write_array')):
+        out_stream.write_array(
+            native.ctx1_encode(in_stream.read_array(file_size)))
+        return
     bitstream = BitStream(out_stream)
     alphabet_size = 257 if file_size < 0 else 256
     coder = Huffman.factory(bitstream, 8191)
@@ -44,6 +55,17 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
 
 
 def _decompress_guts(in_stream, out_stream, file_size):
+    from ..utils.stream import ArrayInputStream
+    try:
+        from .. import native
+    except Exception:
+        native = None
+    if (native is not None and native.available() and file_size >= 0
+            and isinstance(in_stream, ArrayInputStream)):
+        data = in_stream.read_array(in_stream.size - in_stream.pos)
+        out = native.ctx1_decode(data, file_size)
+        out_stream.write(out, 0, file_size)
+        return
     bitstream = BitStream(in_stream)
     alphabet_size = 257 if file_size < 0 else 256
     coder = Huffman.factory(bitstream, 8191)

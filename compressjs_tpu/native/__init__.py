@@ -108,6 +108,18 @@ def _load():
         lib.cz_lzjbr_encode.restype = _i64
         lib.cz_lzjbr_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
         lib.cz_lzjbr_decode.restype = _i64
+        lib.cz_huff_encode.argtypes = [_p_u8, _i64, _p_u8]
+        lib.cz_huff_encode.restype = _i64
+        lib.cz_huff_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
+        lib.cz_huff_decode.restype = _i64
+        lib.cz_ctx1_encode.argtypes = [_p_u8, _i64, _p_u8]
+        lib.cz_ctx1_encode.restype = _i64
+        lib.cz_ctx1_decode.argtypes = [_p_u8, _i64, _p_u8, _i64]
+        lib.cz_ctx1_decode.restype = _i64
+        lib.cz_simple_encode.argtypes = [_p_u8, _i64, _p_i64, _p_u8]
+        lib.cz_simple_encode.restype = _i64
+        lib.cz_simple_decode.argtypes = [_p_u8, _i64, _p_i64, _p_u8, _i64]
+        lib.cz_simple_decode.restype = _i64
         for nm in ('cz_order0_mtf_encode', 'cz_order0_defsum_encode'):
             getattr(lib, nm).argtypes = [
                 _p_u8, _i64, ctypes.c_int32, ctypes.c_int32, _p_i64, _p_u8]
@@ -363,6 +375,57 @@ def lzjbr_decode(data, dec_state, out_size):
     out = np.empty(out_size, dtype=np.uint8)
     lib.cz_lzjbr_decode(data, data.shape[0], dec_state, out, out_size)
     return out
+
+
+def huff_encode(data):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + 4096, dtype=np.uint8)
+    n = lib.cz_huff_encode(data, data.shape[0], out)
+    return out[:n]
+
+
+def huff_decode(data, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_huff_decode(data, data.shape[0], out, n)
+    return out
+
+
+def ctx1_encode(data):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + 4096, dtype=np.uint8)
+    n = lib.cz_ctx1_encode(data, data.shape[0], out)
+    return out[:n]
+
+
+def ctx1_decode(data, n):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    lib.cz_ctx1_decode(data, data.shape[0], out, n)
+    return out
+
+
+def simple_encode(data, enc_state):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(data.shape[0] * 2 + data.shape[0] // 1000 * 520 + 8192,
+                   dtype=np.uint8)
+    n = lib.cz_simple_encode(data, data.shape[0], enc_state, out)
+    return out[:n]
+
+
+def simple_decode(data, dec_state, cap):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.cz_simple_decode(data, data.shape[0], dec_state, out, cap)
+    if n < 0:
+        raise ValueError('simple decode overrun')
+    return out[:n]
 
 
 def order0_encode(kind, data, size, eof_sym, enc_state):

@@ -909,6 +909,247 @@ struct LogDistModel {
 
 }  // namespace rc
 
+// --- adaptive (Vitter) Huffman over a bit stream -------------------------
+// Mirrors coders/huffman.py (itself the behavior clone of Huffman.js).
+
+namespace vhuff {
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t o = 0;
+  uint64_t acc = 0;
+  int accbits = 0;
+  void put(int b) {
+    acc = (acc << 1) | (uint64_t)(b & 1);
+    accbits++;
+    if (accbits == 8) {
+      out[o++] = (uint8_t)acc;
+      acc = 0;
+      accbits = 0;
+    }
+  }
+  void flush() {
+    while (accbits) put(0);
+  }
+};
+
+struct BitReader {
+  const uint8_t* in;
+  int64_t len;
+  int64_t bitpos = 0;
+  int get() {
+    if (bitpos >= len * 8) { bitpos++; return 0; }  // zeros past EOF
+    int b = (in[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+    bitpos++;
+    return b;
+  }
+};
+
+template <typename BitIO>
+struct Coder {
+  std::vector<int32_t> up, down, symbol, weight, map;
+  int32_t size, esc, root;
+  int32_t max_weight;
+  BitIO* io;
+
+  Coder(int32_t sz, int32_t rt, BitIO* bio, int32_t maxw)
+      : size(sz), max_weight(maxw), io(bio) {
+    if (!rt || rt > sz) rt = sz;
+    rt = rt * 2 - 1;
+    up.assign(rt + 1, 0);
+    down.assign(rt + 1, 0);
+    symbol.assign(rt + 1, 0);
+    weight.assign(rt + 1, 0);
+    map.assign(sz, 0);
+    esc = root = rt;
+  }
+  int32_t split(int32_t sym) {
+    int32_t pair = esc;
+    esc--;
+    int32_t node;
+    if (esc) {
+      node = esc;
+      down[pair] = node;
+      weight[pair] = 1;
+      up[node] = pair;
+      esc--;
+    } else {
+      pair = 0;
+      node = 1;
+    }
+    symbol[node] = sym;
+    weight[node] = 0;
+    down[node] = 0;
+    map[sym] = node;
+    weight[esc] = 0;
+    down[esc] = 0;
+    up[esc] = pair;
+    return node;
+  }
+  int32_t leader(int32_t node) {
+    int32_t w = weight[node];
+    int32_t lead = node;
+    while (w == weight[lead + 1]) lead++;
+    if (lead == node) return node;
+    int32_t s = symbol[node], prev = symbol[lead];
+    symbol[lead] = s;
+    symbol[node] = prev;
+    map[s] = lead;
+    map[prev] = node;
+    return lead;
+  }
+  int32_t slide(int32_t node) {
+    int32_t nxt = node + 1;
+    int32_t s_up = up[node], s_down = down[node];
+    int32_t s_sym = symbol[node], s_w = weight[node];
+    if (s_w & 1) {
+      while (s_w > weight[nxt + 1]) nxt++;
+    }
+    up[node] = up[nxt];
+    down[node] = down[nxt];
+    symbol[node] = symbol[nxt];
+    weight[node] = weight[nxt];
+    down[nxt] = s_down;
+    symbol[nxt] = s_sym;
+    weight[nxt] = s_w;
+    up[nxt] = up[node];
+    up[node] = s_up;
+    if (s_w & 1) {
+      up[s_down] = nxt;
+      up[s_down - 1] = nxt;
+      map[symbol[node]] = node;
+    } else {
+      int32_t d = down[node];
+      up[d - 1] = node;
+      up[d] = node;
+      map[s_sym] = nxt;
+    }
+    return nxt;
+  }
+  void increment(int32_t node) {
+    if (up[node] == node + 1) {
+      weight[node] += 2;
+      node++;
+    } else {
+      node = leader(node);
+    }
+    for (;;) {
+      weight[node] += 2;
+      int32_t u = up[node];
+      if (!u) break;
+      while (weight[node] > weight[node + 1]) node = slide(node);
+      if (weight[node] & 1) node = u;
+      else node = up[node];
+    }
+    if (max_weight && weight[root] >= max_weight) scale(1);
+  }
+  void scale(int bits) {
+    int32_t node = esc;
+    for (;;) {
+      node++;
+      if (node > root) break;
+      int32_t w;
+      if (weight[node] & 1) {
+        w = weight[down[node]] & ~1;
+        if (w) w += weight[down[node] - 1] | 1;
+      } else {
+        w = (weight[node] >> bits) & ~1;
+        if (!w) {
+          map[symbol[node]] = 0;
+          if (esc) esc += 2;
+          else esc += 1;
+        }
+      }
+      weight[node] = w;
+      int32_t prev = node;
+      for (;;) {
+        prev--;
+        if (w < weight[prev]) slide(prev);
+        else break;
+      }
+    }
+    down[esc] = 0;
+  }
+  void sendid(int32_t sym) {
+    int32_t empty = 0;
+    for (int32_t s = 0; s < sym; s++)
+      if (!map[s]) empty++;
+    int32_t mx = size - (root - esc) / 2 - 1;
+    if (mx) {
+      for (;;) {
+        io->put(empty & 1);
+        empty >>= 1;
+        mx >>= 1;
+        if (!mx) break;
+      }
+    }
+  }
+  void encode(int32_t sym) {
+    int32_t node = map[sym];
+    int32_t idx = node;
+    if (!idx) {
+      idx = esc;
+      if (!idx) return;
+    }
+    uint64_t emit = 1;
+    for (;;) {
+      int32_t u = up[idx];
+      if (!u) break;
+      emit = (emit << 1) | (uint64_t)(idx & 1);
+      idx = u;
+    }
+    for (;;) {
+      int bit = (int)(emit & 1);
+      emit >>= 1;
+      if (!emit) break;
+      io->put(bit);
+    }
+    if (!node) {
+      sendid(sym);
+      node = split(sym);
+    }
+    increment(node);
+  }
+  int32_t readid() {
+    int32_t empty = 0, bit = 1;
+    int32_t mx = size - (root - esc) / 2 - 1;
+    if (mx) {
+      for (;;) {
+        if (io->get()) empty |= bit;
+        bit <<= 1;
+        mx >>= 1;
+        if (!mx) break;
+      }
+    }
+    for (int32_t s = 0; s < size; s++) {
+      if (!map[s]) {
+        if (!empty) return s;
+        empty--;
+      }
+    }
+    return 0;
+  }
+  int32_t decode() {
+    int32_t node = root;
+    for (;;) {
+      int32_t d = down[node];
+      if (!d) break;
+      node = io->get() ? d - 1 : d;
+    }
+    int32_t sym;
+    if (node == esc) {
+      sym = readid();
+      node = split(sym);
+    } else {
+      sym = symbol[node];
+    }
+    increment(node);
+    return sym;
+  }
+};
+
+}  // namespace vhuff
+
 // --- DMC -----------------------------------------------------------------
 // Byte-oriented dynamic Markov compression (mirrors codecs/dmc.py).
 
@@ -1436,6 +1677,136 @@ struct Window {
 }  // namespace lzp3
 
 extern "C" {
+
+// Adaptive-Huffman order-0 codec ('huff'): alphabet 256 (size known),
+// table capacity 257, max_weight 8191.  Returns bytes written.
+int64_t cz_huff_encode(const uint8_t* data, int64_t n, uint8_t* out) {
+  vhuff::BitWriter bw;
+  bw.out = out;
+  vhuff::Coder<vhuff::BitWriter> h(257, 256, &bw, 8191);
+  for (int64_t i = 0; i < n; i++) h.encode(data[i]);
+  bw.flush();
+  return bw.o;
+}
+
+int64_t cz_huff_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                       int64_t n) {
+  vhuff::BitReader br;
+  br.in = in;
+  br.len = in_len;
+  vhuff::Coder<vhuff::BitReader> h(257, 256, &br, 8191);
+  for (int64_t i = 0; i < n; i++) out[i] = (uint8_t)h.decode();
+  return 0;
+}
+
+// Order-1 adaptive-Huffman codec ('ctx1'): one coder per previous byte.
+int64_t cz_ctx1_encode(const uint8_t* data, int64_t n, uint8_t* out) {
+  vhuff::BitWriter bw;
+  bw.out = out;
+  std::vector<vhuff::Coder<vhuff::BitWriter>> coders;
+  coders.reserve(256);
+  for (int i = 0; i < 256; i++) coders.emplace_back(256, 256, &bw, 8191);
+  int last = 0x20;
+  for (int64_t i = 0; i < n; i++) {
+    coders[last].encode(data[i]);
+    last = data[i];
+  }
+  bw.flush();
+  return bw.o;
+}
+
+int64_t cz_ctx1_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                       int64_t n) {
+  vhuff::BitReader br;
+  br.in = in;
+  br.len = in_len;
+  std::vector<vhuff::Coder<vhuff::BitReader>> coders;
+  coders.reserve(256);
+  for (int i = 0; i < 256; i++) coders.emplace_back(256, 256, &br, 8191);
+  int last = 0x20;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t s = coders[last].decode();
+    out[i] = (uint8_t)s;
+    last = s;
+  }
+  return 0;
+}
+
+// Semi-static 'smpl' codec body: 128 KiB blocks, raw 16-bit counts, block
+// continuation bit, early cut on count saturation.
+int64_t cz_simple_encode(const uint8_t* data, int64_t n,
+                         int64_t* enc_state, uint8_t* out) {
+  rc::Enc e;
+  e.load(enc_state);
+  e.out = out;
+  e.outlen = 0;
+  const int64_t MAXB = 1 << 17;
+  int64_t i = 0;
+  while (i < n) {
+    int32_t counts[257] = {0};
+    int64_t start = i;
+    while (i < n && i - start < MAXB) {
+      counts[data[i]]++;
+      i++;
+      if (counts[data[i - 1]] == 0xFFFF) break;  // saturation cut
+    }
+    int64_t blen = i - start;
+    e.encode_shift(1, 1, 1);  // continuation bit = 1
+    for (int k = 0; k < 256; k++) e.encode_shift(1, counts[k], 16);
+    int32_t cum[257];
+    int32_t run = 0;
+    for (int k = 0; k < 256; k++) { cum[k] = run; run += counts[k]; }
+    cum[256] = (int32_t)blen;
+    for (int64_t j = start; j < i; j++) {
+      int c = data[j];
+      e.encode_freq(counts[c], cum[c], (uint32_t)blen);
+    }
+  }
+  e.encode_shift(1, 0, 1);  // stop bit
+  e.store(enc_state);
+  return e.outlen;
+}
+
+int64_t cz_simple_decode(const uint8_t* in, int64_t in_len,
+                         int64_t* dec_state, uint8_t* out, int64_t cap) {
+  rc::Dec d;
+  d.load(dec_state);
+  d.in = in;
+  d.len = in_len;
+  int64_t o = 0;
+  for (;;) {
+    uint32_t bit = d.decode_cul_shift(1);
+    d.update(1, bit, 2);
+    if (!bit) break;
+    int64_t counts[257];
+    for (int k = 0; k < 256; k++) {
+      uint32_t v = d.decode_cul_shift(16);
+      d.update(1, v, 1 << 16);
+      counts[k] = v;
+    }
+    int64_t cum[257];
+    int64_t run = 0;
+    for (int k = 0; k < 256; k++) { cum[k] = run; run += counts[k]; }
+    cum[256] = run;
+    for (int64_t j = 0; j < run; j++) {
+      uint32_t cf = d.decode_cul_freq((uint32_t)run);
+      // binary search the cumulative table (zero-width ranges exist)
+      int lo = 0, hi = 256;
+      while (lo + 1 < hi) {
+        int mid = (lo + hi) >> 1;
+        if (cum[mid] <= (int64_t)cf) lo = mid;
+        else hi = mid;
+      }
+      while (cum[lo + 1] <= (int64_t)cf) lo++;
+      if (o >= cap) return -1;
+      out[o++] = (uint8_t)lo;
+      d.update((uint32_t)(cum[lo + 1] - cum[lo]), (uint32_t)cum[lo],
+               (uint32_t)run);
+    }
+  }
+  d.store(dec_state);
+  return o;
+}
 
 // Order-0 whole-stream coding with the MTF-list model ('mtfm' codec).
 int64_t cz_order0_mtf_encode(const uint8_t* data, int64_t n, int32_t size,

@@ -99,6 +99,8 @@ def test_size_parity_sample5(name, level, ref_size, exact, ref_samples):
     ('MTFModel', 1441763),
     ('DefSumModel', 1491107),
     ('NoModel', 2130648),
+    ('Huffman', 1452055),
+    ('Context1Model', 939098),
 ])
 def test_model_codec_size_parity_sample5(name, ref_size, ref_samples):
     size = roundtrip(_codec(name), ref_samples['sample5'])
