@@ -29,7 +29,9 @@ class _Window:
             self.put(ord('cSaCsA'[i % 6]))
 
     def put(self, byte):
-        self.buffer[self.pos] = byte
+        # the reference stores into a Uint8Array, so the EOF symbol (256)
+        # wraps to 0 in the window
+        self.buffer[self.pos] = byte & 0xFF
         self.pos += 1
         if self.pos >= WINDOW_SIZE:
             self.pos = 0

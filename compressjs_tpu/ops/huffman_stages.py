@@ -194,25 +194,6 @@ def payload_bytes(syms, selectors, length_matrix, code_matrix):
     return out[:(total + 7) // 8], total
 
 
-def payload_bits(syms, selectors, length_matrix, code_matrix):
-    """Vectorized Huffman payload emission: per-symbol (len, code) gather,
-    expand each code into its bits, compact valid bits.  Returns a uint8
-    0/1 array (the job the reference does one writeBits call per symbol,
-    Bzip2.js:869-874)."""
-    n = syms.shape[0]
-    chunk_of_sym = np.repeat(np.arange(len(selectors)), GROUP_SIZE)[:n]
-    sel = selectors[chunk_of_sym].astype(np.int64)
-    lens = length_matrix[sel, syms].astype(np.int64)          # (n,)
-    codes = code_matrix[sel, syms].astype(np.int64)           # (n,)
-    maxlen = int(lens.max()) if n else 0
-    # bit t (MSB-first) of each code: (code >> (len-1-t)) & 1, valid t<len
-    t = np.arange(maxlen)
-    shifts = lens[:, None] - 1 - t[None, :]                   # (n, maxlen)
-    valid = shifts >= 0
-    bits = ((codes[:, None] >> np.maximum(shifts, 0)) & 1).astype(np.uint8)
-    return bits[valid]  # row-major flatten keeps symbol order then bit order
-
-
 def selector_mtf_bits(selectors, n_groups):
     """Selectors MTF'd then unary-coded (reference Bzip2.js:849-862)."""
     lst = list(range(n_groups))

@@ -13,8 +13,10 @@ These are the jittable, fixed-shape builds of the transform stages:
   parallel (vmap over chunks inside a `lax.scan` over chunk length).
 * `rle2_encode` — RUNA/RUNB zero-run digits via segment math, fixed
   shape with a valid-count.
-* `payload_bits` — per-symbol (len, code) gather, bit expansion, and
-  offset assignment for the Huffman payload.
+* `group_costs_dev` / `chunk_freqs_dev` / `payload_pack_dev` — the
+  Huffman group-refinement scans and payload bit packing, for the
+  all-on-device mode (the host/native build of the same math is the
+  default production path).
 
 All shapes are static; ragged results carry explicit counts so the
 multi-chip path (compressjs_tpu.parallel) can shard blocks with
@@ -84,16 +86,6 @@ def bwt_block(block, n):
     stage — rotation sort stays on chip, the rest on the host."""
     order = cyclic_suffix_sort(block, n)
     U = block[:n][(order - 1) % n]
-    pidx = jnp.argmax(order == 0).astype(jnp.int32)
-    return U, pidx
-
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def bwt_from_order(block, n, order=None):
-    """Cyclic BWT output and pidx given the sorted rotation order."""
-    if order is None:
-        order = cyclic_suffix_sort(block, n)
-    U = block[(order - 1) % n]
     pidx = jnp.argmax(order == 0).astype(jnp.int32)
     return U, pidx
 
@@ -299,38 +291,3 @@ def payload_pack_dev(syms, count, selectors, length_matrix, code_matrix):
     packed = (out[:max_bits].reshape(-1, 8) *
               weights[None, :]).sum(axis=1).astype(jnp.uint8)
     return packed, total
-
-
-# ---------------------------------------------------------------------------
-# Huffman payload bit assignment
-
-@functools.partial(jax.jit, static_argnums=(3,))
-def payload_bit_layout(syms, count, sel_per_sym_lengths, max_code_bits=20):
-    """Bit offsets for each symbol's code: exclusive cumsum of lengths,
-    masked to the valid prefix.  Returns (offsets, total_bits)."""
-    n = syms.shape[0]
-    valid = jnp.arange(n) < count
-    lens = jnp.where(valid, sel_per_sym_lengths, 0)
-    offsets = jnp.cumsum(lens) - lens
-    return offsets, jnp.sum(lens)
-
-
-@jax.jit
-def payload_bits(syms, count, lens, codes):
-    """Expand (code, len) pairs into a packed uint8 bit array.
-    lens/codes: per-symbol gathered values.  Output is sized for the worst
-    case (n*20 bits); callers slice to total_bits."""
-    n = syms.shape[0]
-    valid = jnp.arange(n) < count
-    lens = jnp.where(valid, lens, 0)
-    offsets = jnp.cumsum(lens) - lens
-    total = jnp.sum(lens)
-    max_bits = n * 20
-    t = jnp.arange(20, dtype=jnp.int32)
-    shifts = lens[:, None] - 1 - t[None, :]
-    bit_valid = shifts >= 0
-    bits = ((codes[:, None] >> jnp.maximum(shifts, 0)) & 1).astype(jnp.uint8)
-    positions = jnp.where(bit_valid, offsets[:, None] + t[None, :], max_bits)
-    out = jnp.zeros(max_bits + 1, dtype=jnp.uint8)
-    out = out.at[positions.reshape(-1)].set(bits.reshape(-1), mode='drop')
-    return out[:max_bits], total

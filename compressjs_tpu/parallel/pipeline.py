@@ -6,12 +6,12 @@ The TPU execution model (SURVEY.md §2 parallel table):
   rolling stream CRC and output bit alignment, both host-side), so blocks
   are batched on one chip (vmap) or sharded across a `jax.sharding.Mesh`
   (shard_map, see mesh.py).
-* **Device-resident symbol stream** — the fused transform kernel
+* **Two device splits** — 'full' runs the fused transform kernel
   (`ops.jax_kernels.encode_block_core`: rotation sort -> BWT -> MTF ->
-  RLE2) leaves the RLE2 symbol stream in HBM; the Huffman group
-  refinement pulls only the (chunks x groups) cost matrices and
-  (groups x 260) frequency matrices to the host, and the payload is
-  bit-packed on device.  Host work per block is O(alphabet * groups).
+  RLE2) entirely in HBM (what the mesh path shards); 'hybrid' keeps the
+  O(n log n) sort on device and runs the latency-bound sequential
+  stages on the native host runtime — the faster split on a
+  tunnel-attached chip.
 * **Host boundary** — RLE1 packing and CRC (zlib-reflection path, GB/s),
   length-limited Huffman allocation (O(258) per group), and final bit
   stitching.
@@ -50,7 +50,6 @@ def _mtf_rle2(U, alphabet, alphabet_size):
     syms = rle_ops.mtf_rle2_encode(mtf_seq, alphabet_size + 1)
     freq = np.bincount(syms, minlength=alphabet_size + 2)
     return syms, freq
-_SLICE_BUCKET = 1 << 18  # fetch packed payloads in 256 KiB buckets
 
 
 def _split_blocks(data, block_size):
@@ -76,20 +75,6 @@ def _block_meta(block):
     remap = np.zeros(256, dtype=np.int32)
     remap[alphabet] = np.arange(len(alphabet))
     return used, len(alphabet), remap
-
-
-def _pad_tables(length_matrix, code_matrix=None):
-    """Pad group tables to the fixed (6, 260) device shape; unused group
-    rows get length 255 so they never win a cost argmin."""
-    n_groups, a = length_matrix.shape
-    L = np.full((6, 260), 255, dtype=np.int32)
-    L[:n_groups, :a] = length_matrix
-    L[:n_groups, a:] = 0
-    if code_matrix is None:
-        return L
-    C = np.zeros((6, 260), dtype=np.int32)
-    C[:n_groups, :a] = code_matrix
-    return L, C
 
 
 def _finish_block(block, pidx, syms, count, freq, alphabet_size, used):

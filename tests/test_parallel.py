@@ -120,3 +120,46 @@ def test_device_pipeline_byte_parity(ref_samples):
     for mode in ('hybrid', 'full'):
         dev = bytes(DeviceBzip2Encoder(1, mode).compress(data))
         assert dev == host, mode
+
+
+def test_device_huffman_stage_kernels():
+    """group_costs_dev / chunk_freqs_dev / payload_pack_dev (the
+    all-on-device entropy scans) match the host build."""
+    from compressjs_tpu.ops import huffman_stages as hs
+    d = _data(20000, 9)
+    alpha = mtf_host.used_alphabet(d)
+    m = mtf_host.mtf_encode(d, alpha)
+    eob = len(alpha) + 1
+    syms = rle_host.mtf_rle2_encode(m, eob)
+    freq = np.bincount(syms, minlength=eob + 1)
+    lm, sel = hs.optimize_groups(syms.astype(np.int64), eob + 1, freq)
+    L = np.full((6, 260), 255, dtype=np.int32)
+    L[:lm.shape[0], :eob + 1] = lm
+    L[:lm.shape[0], eob + 1:] = 0
+    cm = np.stack([hs.canonical_codes(lm[g]) for g in range(lm.shape[0])])
+    C = np.zeros((6, 260), dtype=np.int32)
+    C[:cm.shape[0], :eob + 1] = cm
+    count = jnp.int32(len(syms))
+    pad = np.full(len(syms) + 7, eob, dtype=np.int16)
+    pad[:len(syms)] = syms
+    costs = np.asarray(jk.group_costs_dev(jnp.asarray(pad), count,
+                                          jnp.asarray(L)))
+    host_costs = hs.group_costs(lm, syms.astype(np.int64))
+    nvalid = host_costs.shape[0]
+    assert (costs[:nvalid, :lm.shape[0]] == host_costs).all()
+    n_chunks = -(-pad.shape[0] // 50)
+    selpad = np.zeros(n_chunks, dtype=np.int32)
+    selpad[:len(sel)] = sel
+    freqs = np.asarray(jk.chunk_freqs_dev(jnp.asarray(pad), count, 6,
+                                          jnp.asarray(selpad), eob + 1))
+    host_freqs = hs.chunk_freqs(syms.astype(np.int64), sel, lm.shape[0],
+                                eob + 1)
+    assert (freqs[:lm.shape[0], :eob + 1] == host_freqs).all()
+    packed, total = jk.payload_pack_dev(jnp.asarray(pad), count,
+                                        jnp.asarray(selpad),
+                                        jnp.asarray(L), jnp.asarray(C))
+    host_packed, host_total = hs.payload_bytes(
+        syms.astype(np.int64), sel, lm, cm)
+    assert int(total) == host_total
+    assert np.asarray(packed)[:len(host_packed)].tobytes() == \
+        host_packed.tobytes()
