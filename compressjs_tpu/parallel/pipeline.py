@@ -159,8 +159,28 @@ class DeviceBzip2Encoder:
             core = self._submit(block, alphabet_size, remap)
             submitted.append((block, crc, used, alphabet_size, core))
 
+        # prefetch device results in the background: the transfer for
+        # block k+1 overlaps the host entropy stage for block k
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(core):
+            if isinstance(core, tuple) and len(core) == 2 and \
+                    isinstance(core[0], str):
+                return core
+            return tuple(np.asarray(x) for x in core)
+
+        pool = ThreadPoolExecutor(2)
+        try:
+            fetched = [pool.submit(fetch, s[4]) for s in submitted]
+            return self._assemble(o, out, submitted, fetched)
+        finally:
+            pool.shutdown(wait=False)
+
+    def _assemble(self, o, out, submitted, fetched):
         stream_crc = 0
-        for block, crc, used, alphabet_size, core in submitted:
+        for (block, crc, used, alphabet_size, _), fut in zip(submitted,
+                                                             fetched):
+            core = fut.result()
             if isinstance(core, tuple) and len(core) == 2 and \
                     isinstance(core[0], str) and core[0] == 'host':
                 from ..ops import bwt as bwt_ops
