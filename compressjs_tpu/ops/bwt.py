@@ -165,6 +165,10 @@ def unbwtransform(T, U, LF, n, pidx):
     # f(t) = occ[t] + C[T[t]], then +1 if result < pidx
     f = occ + C[T]
     f = f + (f < pidx)
+    # when suffix 0 sorts last (pidx == n), the walk's final position maps
+    # to n — the reference computes that value but never dereferences it
+    # (the loop ends first); the orbit precomputation must clamp it
+    np.minimum(f, n - 1, out=f)
     # orbit of t0=0 under f, length n; U[i] = T[t_{i+1}] read back-to-front
     orbit = _orbit(f.astype(np.int64), 0, n)
     # reference loop: for i=n-1..0: t = f(t_prev); U[i] = T[t_before_update]
