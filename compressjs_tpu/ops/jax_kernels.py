@@ -81,6 +81,62 @@ def cyclic_suffix_sort(block, n):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def eof_suffix_sort(block, n):
+    """EOF-terminated suffix array of block[:n]: a virtual sentinel
+    smaller than every byte terminates the string, so shorter suffixes
+    that are prefixes sort first (the semantics BWTC's bwtransform needs).
+    Same early-exit prefix doubling as the cyclic variant, with -1 rank
+    padding past the end instead of cyclic wrap."""
+    b32 = block[:n].astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # seed ranks from (T[i]+1, T[i+1]+1 or sentinel 0)
+    nxt = jnp.where(idx < n - 1, jnp.roll(b32, -1) + 1, 0)
+    seed = ((b32 + 1) << 9) | nxt
+    s1, order0 = lax.sort((seed, idx), num_keys=1)
+    diff0 = jnp.ones(n, dtype=jnp.int32)
+    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
+    rank0 = jnp.zeros(n, dtype=jnp.int32)
+    rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
+
+    def cond(state):
+        rank, k, maxrank = state
+        return (maxrank < n - 1) & (k < n)
+
+    def body(state):
+        rank, k, _ = state
+        rank2 = jnp.where(idx < n - k, jnp.roll(rank, -k), -1)
+        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
+        diff = jnp.ones(n, dtype=jnp.int32)
+        diff = diff.at[1:].set(
+            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
+        csum = jnp.cumsum(diff)
+        new_rank = jnp.zeros(n, dtype=jnp.int32)
+        new_rank = new_rank.at[order].set(csum - 1)
+        return new_rank, k * 2, csum[-1] - 1
+
+    rank, _, _ = lax.while_loop(
+        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+    order = jnp.argsort(rank)  # ranks are a permutation here
+    return order
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bwt_eof_block(block, n):
+    """EOF-terminated BWT (reference bwtransform contract): (U, pidx+1)
+    with U[0]=T[n-1] and the suffix-0 slot skipped."""
+    sa = eof_suffix_sort(block, n)
+    pidx = jnp.argmax(sa == 0).astype(jnp.int32)
+    prev = block[:n][(sa - 1) % n]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # U[0]=T[n-1]; U[i+1]=prev[i] for i<pidx; U[i]=prev[i] for i>pidx
+    U = jnp.full(n, block[n - 1], dtype=block.dtype)
+    U = jnp.where((idx > 0) & (idx <= pidx), prev[jnp.maximum(idx - 1, 0)],
+                  U)
+    U = jnp.where(idx > pidx, prev[idx], U)
+    return U, pidx + 1
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def bwt_block(block, n):
     """Cyclic BWT of one block: (U, pidx).  The hybrid pipeline's device
     stage — rotation sort stays on chip, the rest on the host."""

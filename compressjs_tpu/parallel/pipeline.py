@@ -219,3 +219,61 @@ class DeviceBzip2Encoder:
 
 def compress_file_device(data, output=None, level=9, batch=None):
     return DeviceBzip2Encoder(level).compress(data, output)
+
+
+class DeviceBWTCEncoder:
+    """BWTC encoder with the per-block EOF-terminated BWT on device.
+
+    BWTC's range coder spans all blocks (BWTC.js:13-14), so the entropy
+    stream is inherently sequential — but each block's BWT is independent:
+    all device sorts are dispatched ahead and fetched in the background
+    while the shared coder streams earlier blocks.  Output is
+    byte-identical to codecs.bwtc.BWTC.compress_file."""
+
+    def __init__(self, level=9):
+        if not 1 <= level <= 9:
+            raise ValueError('invalid level')
+        self.level = level
+        self.block_size = level * 100000
+
+    def compress(self, data, output=None):
+        import compressjs_tpu.codecs.bwtc as bwtc_mod
+        from ..ops import bwt as bwt_ops
+
+        data = np.asarray(data, dtype=np.uint8) \
+            if isinstance(data, np.ndarray) \
+            else np.frombuffer(bytes(data), dtype=np.uint8)
+
+        # precompute device BWTs for the full-size blocks
+        bs = self.block_size
+        n_full = len(data) // bs
+        futures = {}
+        if n_full:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(2)
+            for b in range(n_full):
+                blk = data[b * bs:(b + 1) * bs]
+                dev = jk.bwt_eof_block(jnp.asarray(blk), bs)
+                futures[b * bs] = pool.submit(
+                    lambda d: (np.asarray(d[0]), int(d[1])), dev)
+
+        # route bwtransform through the precomputed results
+        orig = bwt_ops.bwtransform
+        state = {'off': 0}
+
+        def bwt_with_cache(T, U, A, n, alphabet_size=256):
+            fut = futures.get(state['off']) if n == bs else None
+            state['off'] += n
+            if fut is not None:
+                Un, pidx = fut.result()
+                U[:n] = Un
+                return pidx
+            return orig(T, U, A, n, alphabet_size)
+
+        bwt_ops.bwtransform = bwt_with_cache
+        try:
+            return bwtc_mod.BWTC.compress_file(data, output, self.level)
+        finally:
+            bwt_ops.bwtransform = orig
+            if n_full:
+                pool.shutdown(wait=False)

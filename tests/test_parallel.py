@@ -163,3 +163,23 @@ def test_device_huffman_stage_kernels():
     assert int(total) == host_total
     assert np.asarray(packed)[:len(host_packed)].tobytes() == \
         host_packed.tobytes()
+
+
+def test_device_bwtc_encoder_byte_parity(ref_samples):
+    from compressjs_tpu.parallel.pipeline import DeviceBWTCEncoder
+    from compressjs_tpu.codecs.bwtc import BWTC
+    data = ref_samples['sample2']
+    dev = bytes(DeviceBWTCEncoder(1).compress(data))
+    host = bytes(BWTC.compress_file(data, None, 1))
+    assert dev == host
+    assert bytes(BWTC.decompress_file(dev)) == data
+
+
+def test_device_eof_bwt_matches_host():
+    d = _data(20000, 11)
+    U_dev, pidx_dev = jk.bwt_eof_block(jnp.asarray(d), len(d))
+    U = np.zeros(len(d), np.uint8)
+    A = np.zeros(len(d), np.int32)
+    pidx_h = bwt_host.bwtransform(d, U, A, len(d), 256)
+    assert int(pidx_dev) == pidx_h
+    assert (np.asarray(U_dev) == U).all()
