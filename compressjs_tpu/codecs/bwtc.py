@@ -37,6 +37,11 @@ MAGIC = 'bwtc'
 F_PROB_MAX = 0xFF00
 F_PROB_INCR = 0x0100
 
+# per-call BWT override (thread-local): lets a pipeline substitute
+# precomputed (e.g. device) BWTs without touching shared module state
+import contextvars
+_BWT_HOOK = contextvars.ContextVar('bwtc_bwt_hook', default=None)
+
 
 def _encode_usage_tree(encoder, used):
     """Binary usage tree over the 256-symbol alphabet: internal nodes carry
@@ -106,7 +111,8 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
             encoder.encode_freq(1, 1, 3)  # short block
             len_model.encode(length)
         b = block[:length]
-        pidx = bwt_ops.bwtransform(b, U, A, length, 256)
+        bwt_fn = _BWT_HOOK.get() or bwt_ops.bwtransform
+        pidx = bwt_fn(b, U, A, length, 256)
         len_model.encode(pidx)
 
         used = np.zeros(256, dtype=np.int64)

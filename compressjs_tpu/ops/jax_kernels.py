@@ -36,6 +36,43 @@ from jax import lax
 # ---------------------------------------------------------------------------
 # suffix sort (cyclic, for bzip2)
 
+def _prefix_double(rank0, idx, n, rank2_of):
+    """Shared prefix-doubling loop: refine ranks by sorting
+    (rank, rank2_of(rank, k)) pairs until all ranks are distinct (early
+    exit) or k reaches n.  rank2_of supplies the variant semantics
+    (cyclic wrap vs EOF padding)."""
+
+    def cond(state):
+        rank, k, maxrank = state
+        return (maxrank < n - 1) & (k < n)
+
+    def body(state):
+        rank, k, _ = state
+        rank2 = rank2_of(rank, k)
+        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
+        diff = jnp.ones(n, dtype=jnp.int32)
+        diff = diff.at[1:].set(
+            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
+        csum = jnp.cumsum(diff)
+        new_rank = jnp.zeros(n, dtype=jnp.int32)
+        new_rank = new_rank.at[order].set(csum - 1)
+        return new_rank, k * 2, csum[-1] - 1
+
+    rank, _, _ = lax.while_loop(
+        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+    return rank
+
+
+def _seed_ranks(seed, idx, n):
+    """Initial rank compression from per-position seed keys."""
+    s1, order0 = lax.sort((seed, idx), num_keys=1)
+    diff0 = jnp.ones(n, dtype=jnp.int32)
+    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
+    rank0 = jnp.zeros(n, dtype=jnp.int32)
+    rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
+    return rank0
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def cyclic_suffix_sort(block, n):
     """Sorted rotation start indices of block[0:n] (uint8), ties broken by
@@ -51,30 +88,9 @@ def cyclic_suffix_sort(block, n):
     idx = jnp.arange(n, dtype=jnp.int32)
     # seed: rank by (T[i], T[i+1]) packed into one int32
     seed = (b32 << 8) | jnp.roll(b32, -1)
-    s1, order0 = lax.sort((seed, idx), num_keys=1)
-    diff0 = jnp.ones(n, dtype=jnp.int32)
-    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
-    rank0 = jnp.zeros(n, dtype=jnp.int32)
-    rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
-
-    def cond(state):
-        rank, k, maxrank = state
-        return (maxrank < n - 1) & (k < n)
-
-    def body(state):
-        rank, k, _ = state
-        rank2 = jnp.roll(rank, -k)
-        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
-        diff = jnp.ones(n, dtype=jnp.int32)
-        diff = diff.at[1:].set(
-            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
-        csum = jnp.cumsum(diff)
-        new_rank = jnp.zeros(n, dtype=jnp.int32)
-        new_rank = new_rank.at[order].set(csum - 1)
-        return new_rank, k * 2, csum[-1] - 1
-
-    rank, _, _ = lax.while_loop(
-        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+    rank0 = _seed_ranks(seed, idx, n)
+    rank = _prefix_double(rank0, idx, n,
+                          lambda rank, k: jnp.roll(rank, -k))
     # final order: (rank asc, index desc) — resolves periodic ties
     _, _, order = lax.sort((rank, -idx, idx), num_keys=2)
     return order
@@ -92,30 +108,10 @@ def eof_suffix_sort(block, n):
     # seed ranks from (T[i]+1, T[i+1]+1 or sentinel 0)
     nxt = jnp.where(idx < n - 1, jnp.roll(b32, -1) + 1, 0)
     seed = ((b32 + 1) << 9) | nxt
-    s1, order0 = lax.sort((seed, idx), num_keys=1)
-    diff0 = jnp.ones(n, dtype=jnp.int32)
-    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
-    rank0 = jnp.zeros(n, dtype=jnp.int32)
-    rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
-
-    def cond(state):
-        rank, k, maxrank = state
-        return (maxrank < n - 1) & (k < n)
-
-    def body(state):
-        rank, k, _ = state
-        rank2 = jnp.where(idx < n - k, jnp.roll(rank, -k), -1)
-        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
-        diff = jnp.ones(n, dtype=jnp.int32)
-        diff = diff.at[1:].set(
-            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
-        csum = jnp.cumsum(diff)
-        new_rank = jnp.zeros(n, dtype=jnp.int32)
-        new_rank = new_rank.at[order].set(csum - 1)
-        return new_rank, k * 2, csum[-1] - 1
-
-    rank, _, _ = lax.while_loop(
-        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+    rank0 = _seed_ranks(seed, idx, n)
+    rank = _prefix_double(
+        rank0, idx, n,
+        lambda rank, k: jnp.where(idx < n - k, jnp.roll(rank, -k), -1))
     order = jnp.argsort(rank)  # ranks are a permutation here
     return order
 

@@ -257,8 +257,8 @@ class DeviceBWTCEncoder:
                 futures[b * bs] = pool.submit(
                     lambda d: (np.asarray(d[0]), int(d[1])), dev)
 
-        # route bwtransform through the precomputed results
-        orig = bwt_ops.bwtransform
+        # route this call's bwtransform through the precomputed results
+        # (thread-local hook: concurrent compressions stay independent)
         state = {'off': 0}
 
         def bwt_with_cache(T, U, A, n, alphabet_size=256):
@@ -268,12 +268,12 @@ class DeviceBWTCEncoder:
                 Un, pidx = fut.result()
                 U[:n] = Un
                 return pidx
-            return orig(T, U, A, n, alphabet_size)
+            return bwt_ops.bwtransform(T, U, A, n, alphabet_size)
 
-        bwt_ops.bwtransform = bwt_with_cache
+        token = bwtc_mod._BWT_HOOK.set(bwt_with_cache)
         try:
             return bwtc_mod.BWTC.compress_file(data, output, self.level)
         finally:
-            bwt_ops.bwtransform = orig
+            bwtc_mod._BWT_HOOK.reset(token)
             if n_full:
                 pool.shutdown(wait=False)
