@@ -121,12 +121,16 @@ class DeviceBzip2Encoder:
     Cores for all blocks are dispatched up front (async) so the chip
     computes ahead of the host assembly loop."""
 
-    def __init__(self, level=9, mode='hybrid'):
+    def __init__(self, level=9, mode='hybrid', self_check=False):
         if not 1 <= level <= 9:
             raise ValueError('Invalid block size multiplier')
         self.level = level
         self.block_size = level * 100000 - 19
         self.mode = mode
+        # sanitizer mode (the framework's analog of the reference's dense
+        # console.assert checking): every device block result is
+        # cross-checked against the host transform before being used
+        self.self_check = self_check
 
     def _submit(self, block, alphabet_size, remap):
         n = block.shape[0]
@@ -177,10 +181,15 @@ class DeviceBzip2Encoder:
             pool.shutdown(wait=False)
 
     def _assemble(self, o, out, submitted, fetched):
+        from .profiling import stage_timer
+        timer = stage_timer()
         stream_crc = 0
         for (block, crc, used, alphabet_size, _), fut in zip(submitted,
                                                              fetched):
-            core = fut.result()
+            with timer.stage('device wait+fetch'):
+                core = fut.result()
+            if self.self_check:
+                self._check_block(block, used, core)
             if isinstance(core, tuple) and len(core) == 2 and \
                     isinstance(core[0], str) and core[0] == 'host':
                 from ..ops import bwt as bwt_ops
@@ -201,9 +210,10 @@ class DeviceBzip2Encoder:
                 alphabet = np.nonzero(used)[0].astype(np.uint8)
                 syms, freq = _mtf_rle2(U, alphabet, alphabet_size)
                 count = len(syms)
-            header_bits, (payload, total_bits) = _finish_block(
-                block, int(pidx), syms, count, freq, alphabet_size,
-                used)
+            with timer.stage('host entropy stage'):
+                header_bits, (payload, total_bits) = _finish_block(
+                    block, int(pidx), syms, count, freq, alphabet_size,
+                    used)
             stream_crc = stream_crc_combine(stream_crc, crc)
             out.write_bits(48, WHOLEPI)
             out.write_bits(32, crc)
@@ -214,7 +224,28 @@ class DeviceBzip2Encoder:
         out.write_bits(48, SQRTPI)
         out.write_bits(32, stream_crc)
         out.flush()
+        timer.report()
         return o.retval
+
+    def _check_block(self, block, used, core):
+        """Sanitizer: re-run the block transform on the host and compare
+        (the race/assert-mode analog from SURVEY.md §5)."""
+        from ..ops import bwt as bwt_ops
+        if isinstance(core, tuple) and len(core) == 2 and \
+                isinstance(core[0], str):
+            return  # host path: nothing to cross-check
+        n = block.shape[0]
+        U_ref = np.zeros(n, dtype=np.uint8)
+        pidx_ref = bwt_ops.bwtransform2(block, U_ref, n, 256)
+        if self.mode == 'full':
+            pidx = int(core[0])
+        else:
+            pidx = int(core[1])
+            U = np.asarray(core[0])
+            if not (U == U_ref).all():
+                raise AssertionError('device BWT mismatch vs host')
+        if pidx != pidx_ref:
+            raise AssertionError('device pidx mismatch vs host')
 
 
 def compress_file_device(data, output=None, level=9, batch=None):
