@@ -183,3 +183,17 @@ def test_device_eof_bwt_matches_host():
     pidx_h = bwt_host.bwtransform(d, U, A, len(d), 256)
     assert int(pidx_dev) == pidx_h
     assert (np.asarray(U_dev) == U).all()
+
+
+def test_mesh_compress_bzip2_end_to_end(ref_samples):
+    """BASELINE config: blocks sharded over the mesh, ordered gather,
+    bit-concatenated standard container — byte-identical to the host."""
+    if jax.device_count() < 8:
+        pytest.skip('need 8 devices')
+    from compressjs_tpu.parallel.mesh import make_mesh, mesh_compress_bzip2
+    from compressjs_tpu.codecs import bzip2
+    mesh = make_mesh(jax.devices()[:8])
+    data = ref_samples['sample4'][:450000]  # several full level-1 blocks
+    comp = bytes(mesh_compress_bzip2(mesh, data, 1))
+    assert comp == bytes(bzip2.compress_file(data, None, 1))
+    assert bytes(bzip2.decompress_file(comp)) == data
