@@ -93,8 +93,13 @@ def main(argv=None):
     codec = _dispatch(args.codec) if args.codec else _dispatch('lzp3')
 
     if args.infile:
-        with open(args.infile, 'rb') as f:
-            data = f.read()
+        import os as _os
+        if _os.path.getsize(args.infile) > (64 << 20):
+            # large inputs: memory-map so block codecs stream from disk
+            data = np.memmap(args.infile, dtype=np.uint8, mode='r')
+        else:
+            with open(args.infile, 'rb') as f:
+                data = f.read()
     else:
         data = sys.stdin.buffer.read()
 

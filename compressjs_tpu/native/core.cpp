@@ -1477,23 +1477,66 @@ struct Model {
   std::vector<uint8_t> win;
   int64_t pos = 0;
   bool first_pass = true;
+  // orders 0-2 are dense and hot: direct-indexed tables (order-0 one
+  // slot, order-1 by last byte, order-2 by last two bytes); orders 3-5
+  // live in the hash map keyed by packed context bytes
+  DenseMTF* o0 = nullptr;
+  std::vector<DenseMTF*> o1, o2;
   std::unordered_map<uint64_t, DenseMTF*> contexts;
 
-  explicit Model(int32_t sz) : size(sz), win(WINDOW, 0) {
+  DenseMTF** slot_for(uint64_t key, int order) {
+    if (order == 0) return &o0;
+    if (order == 1) return &o1[key & 0xFF];
+    if (order == 2) return &o2[key & 0xFFFF];
+    return nullptr;
+  }
+  DenseMTF* find(uint64_t key, int order) {
+    DenseMTF** s = slot_for(key, order);
+    if (s) return *s;
+    auto it = contexts.find(key);
+    return it == contexts.end() ? nullptr : it->second;
+  }
+  DenseMTF* find_or_create(uint64_t key, int order) {
+    DenseMTF** s = slot_for(key, order);
+    if (s) {
+      if (!*s) *s = new DenseMTF(size);
+      return *s;
+    }
+    auto it = contexts.find(key);
+    if (it == contexts.end())
+      it = contexts.emplace(key, new DenseMTF(size)).first;
+    return it->second;
+  }
+  void drop(uint64_t key, int order) {
+    DenseMTF** s = slot_for(key, order);
+    if (s) {
+      delete *s;
+      *s = nullptr;
+      return;
+    }
+    auto it = contexts.find(key);
+    if (it != contexts.end()) {
+      delete it->second;
+      contexts.erase(it);
+    }
+  }
+
+  explicit Model(int32_t sz)
+      : size(sz), win(WINDOW, 0), o1(256, nullptr), o2(65536, nullptr) {
     const char* prime = "cSaCsA";
     for (int i = 0; i < MAX_CONTEXT; i++) put((uint8_t)prime[i % 6]);
     for (int i = 0; i < MAX_CONTEXT; i++) {
       for (int j = 0; j <= i; j++) {
         uint64_t cc = ctx_key(j + (MAX_CONTEXT - 1 - i), j);
-        auto it = contexts.find(cc);
-        if (it == contexts.end())
-          it = contexts.emplace(cc, new DenseMTF(size)).first;
-        it->second->refcount++;
+        find_or_create(cc, j)->refcount++;
       }
     }
   }
   ~Model() {
     for (auto& kv : contexts) delete kv.second;
+    delete o0;
+    for (auto* p : o1) delete p;
+    for (auto* p : o2) delete p;
   }
   void put(uint8_t b) {
     win[pos++] = b;
@@ -1512,12 +1555,9 @@ struct Model {
   }
   void update(int32_t symbol, int64_t at_pos, int c_match) {
     for (int c = 0; c <= MAX_CONTEXT; c++) {
-      uint64_t cc = ctx_key(at_pos, c);
-      auto it = contexts.find(cc);
-      if (it == contexts.end())
-        it = contexts.emplace(cc, new DenseMTF(size)).first;
-      if (c >= c_match) it->second->update_sym(symbol, INCR / 2);
-      it->second->refcount++;
+      DenseMTF* m = find_or_create(ctx_key(at_pos, c), c);
+      if (c >= c_match) m->update_sym(symbol, INCR / 2);
+      m->refcount++;
     }
     if (!first_pass) {
       // GC contexts sliding out of the window: prefixes (length
@@ -1531,13 +1571,8 @@ struct Model {
           if (q >= WINDOW) q = 0;
         }
         uint64_t cc = k | ((uint64_t)(c + 1) << 41);
-        auto it = contexts.find(cc);
-        if (it != contexts.end()) {
-          if (--it->second->refcount <= 0) {
-            delete it->second;
-            contexts.erase(it);
-          }
-        }
+        DenseMTF* m = find(cc, c);
+        if (m && --m->refcount <= 0) drop(cc, c);
       }
     }
     put((uint8_t)symbol);
@@ -1562,9 +1597,9 @@ struct Model {
     Exclude ex;
     int c;
     for (c = MAX_CONTEXT; c >= 0; c--) {
-      auto it = contexts.find(ctx_key(p0, c));
-      if (it != contexts.end()) {
-        int32_t r = it->second->encode(e, symbol, ex);
+      DenseMTF* m = find(ctx_key(p0, c), c);
+      if (m) {
+        int32_t r = m->encode(e, symbol, ex);
         if (r == 1) {
           update(symbol, p0, c);
           return;
@@ -1580,9 +1615,9 @@ struct Model {
     int c;
     int32_t symbol = -1;
     for (c = MAX_CONTEXT; c >= 0; c--) {
-      auto it = contexts.find(ctx_key(p0, c));
-      if (it != contexts.end()) {
-        symbol = it->second->decode(d, ex);
+      DenseMTF* m = find(ctx_key(p0, c), c);
+      if (m) {
+        symbol = m->decode(d, ex);
         if (symbol >= 0) {
           update(symbol, p0, c);
           return symbol;
