@@ -37,6 +37,7 @@ _CODEC_MODULES = {
     'PPM': '.codecs.ppm',
     'Dmc': '.codecs.dmc',
     'Simple': '.codecs.simple',
+    'BWTCP': '.codecs.bwtcp',
 }
 
 

@@ -29,6 +29,7 @@ def _dispatch(name):
         'huffman': cz.Huffman,
         # compression methods
         'bwtc': cz.BWTC,
+        'bwtcp': cz.BWTCP,  # framework extension: parallel-stream BWTC
         'bzip': cz.Bzip2,
         'bzip2': cz.Bzip2,
         'dmc': cz.Dmc,

@@ -105,3 +105,24 @@ def test_size_parity_sample5(name, level, ref_size, exact, ref_samples):
 def test_model_codec_size_parity_sample5(name, ref_size, ref_samples):
     size = roundtrip(_codec(name), ref_samples['sample5'])
     assert size == ref_size, (name, size, ref_size)
+
+
+def test_bwtcp_parallel_stream_extension(ref_samples):
+    """Framework extension: per-block independent coders (parallel
+    encode/decode) at ~zero size cost vs sequential BWTC."""
+    data = ref_samples['sample2']
+    for lvl in (1, 9):
+        c = bytes(cz.BWTCP.compress_file(data, None, lvl))
+        assert bytes(cz.BWTCP.decompress_file(c)) == data
+    c9 = bytes(cz.BWTCP.compress_file(ref_samples['sample5'], None, 9))
+    cb = bytes(cz.BWTC.compress_file(ref_samples['sample5'], None, 9))
+    assert len(c9) <= len(cb) * 1.001  # coder resets cost only a few bytes
+    assert bytes(cz.BWTCP.decompress_file(c9)) == ref_samples['sample5']
+
+
+def test_config_dataclasses():
+    from compressjs_tpu import config
+    assert config.DEFAULTS['lzjb'].c_compat is True
+    import dataclasses
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        config.DEFAULTS['lzp3'].use_defsum = True
