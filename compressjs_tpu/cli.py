@@ -93,24 +93,36 @@ def main(argv=None):
 
     codec = _dispatch(args.codec) if args.codec else _dispatch('lzp3')
 
-    if args.infile:
-        import os as _os
-        if _os.path.getsize(args.infile) > (64 << 20):
-            # large inputs: memory-map so block codecs stream from disk
-            data = np.memmap(args.infile, dtype=np.uint8, mode='r')
+    try:
+        if args.infile:
+            import os as _os
+            if _os.path.getsize(args.infile) > (64 << 20):
+                # large inputs: memory-map so block codecs stream from disk
+                data = np.memmap(args.infile, dtype=np.uint8, mode='r')
+            else:
+                with open(args.infile, 'rb') as f:
+                    data = f.read()
         else:
-            with open(args.infile, 'rb') as f:
-                data = f.read()
-    else:
-        data = sys.stdin.buffer.read()
+            data = sys.stdin.buffer.read()
+    except OSError as e:
+        print('error: %s' % e, file=sys.stderr)
+        return 1
 
-    if args.decompress:
-        if args.block >= 0:
-            out = codec.decompress_block(data, args.block)
+    try:
+        if args.decompress:
+            if args.block >= 0:
+                if not hasattr(codec, 'decompress_block'):
+                    print('--block requires a random-access codec (bzip2)',
+                          file=sys.stderr)
+                    return 1
+                out = codec.decompress_block(data, args.block)
+            else:
+                out = codec.decompress_file(data)
         else:
-            out = codec.decompress_file(data)
-    else:
-        out = codec.compress_file(data, None, level)
+            out = codec.compress_file(data, None, level)
+    except Exception as e:  # corrupt input: clean message, not a traceback
+        print('error: %s' % e, file=sys.stderr)
+        return 1
 
     out_bytes = bytes(np.asarray(out, dtype=np.uint8))
     if args.outfile:

@@ -2,7 +2,7 @@
 
 These are the jittable, fixed-shape builds of the transform stages:
 
-* `cyclic_ranks` / `cyclic_suffix_sort` — prefix-doubling rotation sort:
+* `cyclic_suffix_sort` / `eof_suffix_sort` — prefix-doubling sorts:
   log2(n) rounds of two-key `lax.sort` + rank compression.  This replaces
   the reference's sequential SA-IS (BWT.js:197-300), whose induced-
   scatter chains cannot be vectorized; sorting is what the TPU does at
