@@ -186,19 +186,39 @@ def compress_file(input_data, output=None, props=None):
         data = (np.concatenate(chunks) if chunks
                 else np.zeros(0, dtype=np.uint8))
 
-    stream_crc = 0
+    # RLE1 boundaries are the only serial dependency between blocks
+    # (each block's start is the previous block's consumed end); scan
+    # them first, then compress the independent blocks on a thread pool
+    # — the native SA-IS/entropy calls release the GIL, so this scales
+    # with host cores even from Python.
+    blocks = []
     start = 0
     while True:
         block, consumed = rle_ops.rle1_encode(data, start, block_size)
         if block.shape[0] > 0:
-            crc = crc32_bzip2(data[start:start + consumed])
-            stream_crc = stream_crc_combine(stream_crc, crc)
-            out.write_bits(48, WHOLEPI)
-            out.write_bits(32, crc)
-            out.write_bit_array(compress_block_bits(block))
+            blocks.append((block, start, consumed))
         start += consumed
         if block.shape[0] != block_size:
             break
+
+    import os as _os
+    workers = min(len(blocks), _os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(
+                lambda b: (crc32_bzip2(data[b[1]:b[1] + b[2]]),
+                           compress_block_bits(b[0])), blocks))
+    else:
+        results = [(crc32_bzip2(data[s:s + c]), compress_block_bits(b))
+                   for b, s, c in blocks]
+
+    stream_crc = 0
+    for crc, bits in results:
+        stream_crc = stream_crc_combine(stream_crc, crc)
+        out.write_bits(48, WHOLEPI)
+        out.write_bits(32, crc)
+        out.write_bit_array(bits)
 
     out.write_bits(48, SQRTPI)
     out.write_bits(32, stream_crc)
