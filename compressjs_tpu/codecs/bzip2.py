@@ -104,10 +104,14 @@ def compress_block_bits(block):
     alphabet_size = len(alphabet)
     end_of_block = alphabet_size + 1
 
-    # MTF then RLE2 (RUNA/RUNB) with EOB
-    mtf_seq = mtf_ops.mtf_encode(U, alphabet)
-    syms = rle_ops.mtf_rle2_encode(mtf_seq, end_of_block)
-    freq = np.bincount(syms, minlength=end_of_block + 1)
+    # MTF then RLE2 (RUNA/RUNB) with EOB; the native path fuses both
+    # passes (one scan of U instead of three array passes)
+    if _native is not None and _native.available():
+        syms, freq = _native.mtf_rle2(U, alphabet)
+    else:
+        mtf_seq = mtf_ops.mtf_encode(U, alphabet)
+        syms = rle_ops.mtf_rle2_encode(mtf_seq, end_of_block)
+        freq = np.bincount(syms, minlength=end_of_block + 1)
 
     # Huffman groups + selectors
     length_matrix, selectors = hs.optimize_groups(syms, end_of_block + 1,
