@@ -142,6 +142,22 @@ def bwt_block(block, n):
     return U, pidx
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def bwt_block_batch(blocks, n):
+    """Cyclic BWT of a (B, n) batch of equal-length blocks in ONE
+    dispatch: (U (B, n) uint8, pidx (B,) int32).
+
+    Batching the independent blocks into a single compiled program is
+    the single-chip form of the DP-over-blocks axis (the mesh path
+    shards the same batch over devices): one host->device transfer, one
+    launch, one fetch for the whole file instead of a tunnel round-trip
+    per block.  The prefix-doubling while_loop runs until the slowest
+    block's ranks resolve; the lockstep cost is small because rounds
+    needed ~ log2(max repeat length), similar across blocks of one
+    file."""
+    return jax.vmap(lambda b: bwt_block(b, n))(blocks)
+
+
 # ---------------------------------------------------------------------------
 # move-to-front
 

@@ -121,12 +121,22 @@ class DeviceBzip2Encoder:
     Cores for all blocks are dispatched up front (async) so the chip
     computes ahead of the host assembly loop."""
 
-    def __init__(self, level=9, mode='hybrid', self_check=False):
+    def __init__(self, level=9, mode='hybrid', self_check=False,
+                 batch=False):
         if not 1 <= level <= 9:
             raise ValueError('Invalid block size multiplier')
         self.level = level
         self.block_size = level * 100000 - 19
         self.mode = mode
+        # batch=True dispatches all full-size blocks as ONE vmapped
+        # device call (jk.bwt_block_batch).  Measured on a single v5e:
+        # the async per-block dispatch already hides transfer latency
+        # and the vmapped while_loop runs lockstep to the slowest
+        # block, so batching is ~2x SLOWER there (0.72s vs 0.38s on
+        # sample5) — it is the single-chip form of the mesh sharding
+        # (each mesh device gets one lane), not a one-chip win, hence
+        # default False.
+        self.batch = batch
         # sanitizer mode (the framework's analog of the reference's dense
         # console.assert checking): every device block result is
         # cross-checked against the host transform before being used
@@ -157,23 +167,46 @@ class DeviceBzip2Encoder:
         out.write_byte(ord('0') + self.level)
 
         blocks = _split_blocks(data, self.block_size)
+
+        # batched dispatch: one vmapped call for every full-size block
+        full_rows = [i for i, (b, _) in enumerate(blocks)
+                     if b.shape[0] == self.block_size]
+        use_batch = (self.batch and self.mode == 'hybrid'
+                     and len(full_rows) > 1)
+        batch_dev = None
+        if use_batch:
+            stacked = jnp.asarray(
+                np.stack([blocks[i][0] for i in full_rows]))
+            batch_dev = jk.bwt_block_batch(stacked, self.block_size)
+        row_of = {i: r for r, i in enumerate(full_rows)}
+
         submitted = []
-        for block, crc in blocks:
+        for i, (block, crc) in enumerate(blocks):
             used, alphabet_size, remap = _block_meta(block)
-            core = self._submit(block, alphabet_size, remap)
+            if use_batch and i in row_of:
+                core = ('batch', row_of[i])
+            else:
+                core = self._submit(block, alphabet_size, remap)
             submitted.append((block, crc, used, alphabet_size, core))
 
         # prefetch device results in the background: the transfer for
         # block k+1 overlaps the host entropy stage for block k
         from concurrent.futures import ThreadPoolExecutor
 
+        pool = ThreadPoolExecutor(2)
+        batch_np = pool.submit(
+            lambda: (np.asarray(batch_dev[0]), np.asarray(batch_dev[1]))) \
+            if use_batch else None
+
         def fetch(core):
             if isinstance(core, tuple) and len(core) == 2 and \
                     isinstance(core[0], str):
+                if core[0] == 'batch':
+                    U_all, p_all = batch_np.result()
+                    return (U_all[core[1]], p_all[core[1]])
                 return core
             return tuple(np.asarray(x) for x in core)
 
-        pool = ThreadPoolExecutor(2)
         try:
             fetched = [pool.submit(fetch, s[4]) for s in submitted]
             return self._assemble(o, out, submitted, fetched)

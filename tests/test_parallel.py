@@ -122,6 +122,17 @@ def test_device_pipeline_byte_parity(ref_samples):
         assert dev == host, mode
 
 
+def test_device_pipeline_batched_dispatch(ref_samples):
+    """batch=True: every full-size block through ONE vmapped device
+    call (jk.bwt_block_batch) — byte-identical, self-check enabled."""
+    from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
+    from compressjs_tpu.codecs import bzip2
+    data = ref_samples['sample2'][:260000]   # 2 full blocks + tail at -1
+    host = bytes(bzip2.compress_file(data, None, 1))
+    enc = DeviceBzip2Encoder(1, 'hybrid', batch=True, self_check=True)
+    assert bytes(enc.compress(data)) == host
+
+
 def test_device_huffman_stage_kernels():
     """group_costs_dev / chunk_freqs_dev / payload_pack_dev (the
     all-on-device entropy scans) match the host build."""
