@@ -72,6 +72,34 @@ def test_block_with_compress_rejected():
     assert r.returncode == 1
 
 
+def test_block_on_non_random_access_codec():
+    r = run_cli(['-d', '-t', 'lzjb', '-b', '32'], stdin=b'x')
+    assert r.returncode == 1
+    assert b'random-access' in r.stderr
+    assert b'Traceback' not in r.stderr
+
+
+def test_corrupt_input_clean_error():
+    # wrong magic, truncated stream, and corrupt body must all produce a
+    # one-line 'error: ...' and exit 1 -- never a traceback
+    for args, payload in [
+        (['-d', '-t', 'lzp3'], b'NOTAMAGIC'),
+        (['-d', '-t', 'bzip2'], b''),
+        (['-d', '-t', 'bwtc'], b'bwtc....garbage'),
+    ]:
+        r = run_cli(args, stdin=payload)
+        assert r.returncode == 1, (args, r.stderr)
+        assert b'error:' in r.stderr or b'Not bzip' in r.stderr, args
+        assert b'Traceback' not in r.stderr, args
+
+
+def test_missing_input_file_clean_error():
+    r = run_cli(['-z', '-t', 'lzp3', '/tmp/definitely-does-not-exist'])
+    assert r.returncode == 1
+    assert b'error:' in r.stderr
+    assert b'Traceback' not in r.stderr
+
+
 @pytest.mark.parametrize('name', [
     'defsum', 'fenwick', 'mtf', 'context1', 'no', 'huffman',
     'bwtc', 'bzip2', 'dmc', 'lzjb', 'lzjbr', 'lzp3', 'ppm', 'simple'])
