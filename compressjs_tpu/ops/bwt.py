@@ -156,7 +156,8 @@ def unbwtransform(T, U, LF, n, pidx):
     T = np.asarray(T)[:n]
     if _use_native() and n > 4096:
         U[:n] = _native.inverse_bwt_eof(T, pidx)
-        LF[:n] = _exclusive_running_count(T)  # contract: LF = occ counts
+        # LF is caller scratch (as in the reference, which leaves its A
+        # full of occ counts nothing reads) — don't spend a pass on it
         return
     counts = np.bincount(T, minlength=256)
     occ = _exclusive_running_count(T)           # LF[i] in the reference
