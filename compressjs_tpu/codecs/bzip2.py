@@ -308,15 +308,29 @@ def _read_block_header(r, dbuf_size):
     if n_selectors == 0:
         _throw(Err.DATA_ERROR)
 
-    # selectors: unary + MTF
+    # selectors: unary + MTF.  The unary codes are decoded vectorized
+    # from a bounded bit window (worst case group_count+1 bits each)
+    # instead of bit-at-a-time — this loop runs ~n/50 times per block.
+    max_bits = n_selectors * (group_count + 1)
+    start = r.pos
+    nbytes = max(0, min(len(r.data) - (start >> 3),
+                        (max_bits + (start & 7) + 7) >> 3))
+    window = np.frombuffer(r.data, dtype=np.uint8, count=nbytes,
+                           offset=min(start >> 3, len(r.data)))
+    bits = np.unpackbits(window)[start & 7:]
+    if bits.shape[0] < max_bits:   # past-EOF bits read as zero
+        bits = np.concatenate(
+            [bits, np.zeros(max_bits - bits.shape[0], dtype=np.uint8)])
+    zeros = np.nonzero(bits == 0)[0][:n_selectors]
+    if zeros.shape[0] < n_selectors:
+        _throw(Err.DATA_ERROR)
+    j_arr = np.diff(zeros, prepend=-1) - 1
+    if (j_arr >= group_count).any():
+        _throw(Err.DATA_ERROR)
+    r.pos = start + int(zeros[-1]) + 1
     mtf_lst = list(range(group_count))
     selectors = []
-    for _ in range(n_selectors):
-        j = 0
-        while r.read_bits(1):
-            j += 1
-            if j >= group_count:
-                _throw(Err.DATA_ERROR)
+    for j in j_arr.tolist():
         s = mtf_lst.pop(j)
         mtf_lst.insert(0, s)
         selectors.append(s)
