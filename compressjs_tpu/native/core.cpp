@@ -1493,6 +1493,89 @@ struct DenseMTF {
   }
 };
 
+// Open-addressing context table for orders 3-5.  std::unordered_map's
+// node-per-entry chains were 55% of PPM encode time (~15M finds per
+// 2.1MB input); linear probing over flat arrays makes each lookup one
+// or two cache lines.  Real keys always carry the length tag
+// ((n+1)<<41, n>=3), so 0 and 1 are free for empty/tombstone.
+struct CtxMap {
+  static constexpr uint64_t EMPTY = 0, TOMB = 1;
+  std::vector<uint64_t> keys;
+  std::vector<DenseMTF*> vals;
+  size_t mask = 0;
+  size_t used = 0;     // live entries
+  size_t filled = 0;   // live + tombstones
+  CtxMap() { rehash_to(1 << 16); }
+  static inline size_t mix(uint64_t x) {   // splitmix64 finalizer
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return (size_t)(x ^ (x >> 31));
+  }
+  void rehash_to(size_t cap) {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<DenseMTF*> ov = std::move(vals);
+    keys.assign(cap, EMPTY);
+    vals.assign(cap, nullptr);
+    mask = cap - 1;
+    filled = used;
+    for (size_t i = 0; i < ok.size(); i++) {
+      if (ok[i] > TOMB) {
+        size_t h = mix(ok[i]) & mask;
+        while (keys[h] != EMPTY) h = (h + 1) & mask;
+        keys[h] = ok[i];
+        vals[h] = ov[i];
+      }
+    }
+  }
+  DenseMTF* find(uint64_t k) const {
+    size_t h = mix(k) & mask;
+    while (true) {
+      uint64_t kk = keys[h];
+      if (kk == k) return vals[h];
+      if (kk == EMPTY) return nullptr;
+      h = (h + 1) & mask;
+    }
+  }
+  DenseMTF*& get_or_insert(uint64_t k) {
+    while (true) {
+      size_t h = mix(k) & mask;
+      size_t tomb = (size_t)-1;
+      while (true) {
+        uint64_t kk = keys[h];
+        if (kk == k) return vals[h];
+        if (kk == EMPTY) break;
+        if (kk == TOMB && tomb == (size_t)-1) tomb = h;
+        h = (h + 1) & mask;
+      }
+      if (filled >= mask - (mask >> 2)) {    // load 0.75 incl tombstones
+        // grow only if mostly live; otherwise just purge tombstones
+        rehash_to(used * 2 > mask ? (mask + 1) * 2 : mask + 1);
+        continue;
+      }
+      if (tomb != (size_t)-1) h = tomb; else filled++;
+      keys[h] = k;
+      vals[h] = nullptr;
+      used++;
+      return vals[h];
+    }
+  }
+  void erase(uint64_t k) {
+    size_t h = mix(k) & mask;
+    while (true) {
+      uint64_t kk = keys[h];
+      if (kk == k) {
+        keys[h] = TOMB;
+        vals[h] = nullptr;
+        used--;
+        return;
+      }
+      if (kk == EMPTY) return;
+      h = (h + 1) & mask;
+    }
+  }
+};
+
 struct Model {
   int32_t size;
   std::vector<uint8_t> win;
@@ -1500,10 +1583,10 @@ struct Model {
   bool first_pass = true;
   // orders 0-2 are dense and hot: direct-indexed tables (order-0 one
   // slot, order-1 by last byte, order-2 by last two bytes); orders 3-5
-  // live in the hash map keyed by packed context bytes
+  // live in the flat probing table keyed by packed context bytes
   DenseMTF* o0 = nullptr;
   std::vector<DenseMTF*> o1, o2;
-  std::unordered_map<uint64_t, DenseMTF*> contexts;
+  CtxMap contexts;
 
   DenseMTF** slot_for(uint64_t key, int order) {
     if (order == 0) return &o0;
@@ -1514,8 +1597,7 @@ struct Model {
   DenseMTF* find(uint64_t key, int order) {
     DenseMTF** s = slot_for(key, order);
     if (s) return *s;
-    auto it = contexts.find(key);
-    return it == contexts.end() ? nullptr : it->second;
+    return contexts.find(key);
   }
   DenseMTF* find_or_create(uint64_t key, int order) {
     DenseMTF** s = slot_for(key, order);
@@ -1523,10 +1605,9 @@ struct Model {
       if (!*s) *s = new DenseMTF(size);
       return *s;
     }
-    auto it = contexts.find(key);
-    if (it == contexts.end())
-      it = contexts.emplace(key, new DenseMTF(size)).first;
-    return it->second;
+    DenseMTF*& v = contexts.get_or_insert(key);
+    if (!v) v = new DenseMTF(size);
+    return v;
   }
   void drop(uint64_t key, int order) {
     DenseMTF** s = slot_for(key, order);
@@ -1535,10 +1616,10 @@ struct Model {
       *s = nullptr;
       return;
     }
-    auto it = contexts.find(key);
-    if (it != contexts.end()) {
-      delete it->second;
-      contexts.erase(it);
+    DenseMTF* m = contexts.find(key);
+    if (m) {
+      delete m;
+      contexts.erase(key);
     }
   }
 
@@ -1554,7 +1635,8 @@ struct Model {
     }
   }
   ~Model() {
-    for (auto& kv : contexts) delete kv.second;
+    for (size_t i = 0; i < contexts.keys.size(); i++)
+      if (contexts.keys[i] > CtxMap::TOMB) delete contexts.vals[i];
     delete o0;
     for (auto* p : o1) delete p;
     for (auto* p : o2) delete p;
@@ -1574,24 +1656,35 @@ struct Model {
     }
     return k | ((uint64_t)(n + 1) << 41);
   }
+  // all MAX_CONTEXT+1 keys ending just before p in one backward pass:
+  // key[c] = key[c-1] with the byte c back ORed in one lane higher
+  // (identical values to ctx_key(p, c) for every c)
+  void ctx_keys(int64_t p, uint64_t* keys) const {
+    uint64_t k = 0;
+    keys[0] = (uint64_t)1 << 41;
+    for (int c = 1; c <= MAX_CONTEXT; c++) {
+      k |= (uint64_t)win[(p - c) & (WINDOW - 1)] << (8 * (c - 1));
+      keys[c] = k | ((uint64_t)(c + 1) << 41);
+    }
+  }
   void update(int32_t symbol, int64_t at_pos, int c_match) {
+    uint64_t ks[MAX_CONTEXT + 1];
+    ctx_keys(at_pos, ks);
     for (int c = 0; c <= MAX_CONTEXT; c++) {
-      DenseMTF* m = find_or_create(ctx_key(at_pos, c), c);
+      DenseMTF* m = find_or_create(ks[c], c);
       if (c >= c_match) m->update_sym(symbol, INCR / 2);
       m->refcount++;
     }
     if (!first_pass) {
       // GC contexts sliding out of the window: prefixes (length
-      // MAX_CONTEXT..0) of the bytes starting at pos
+      // MAX_CONTEXT..0) of the bytes starting at pos, built up
+      // incrementally (k_c = k_{c-1} shifted with the next byte in)
+      uint64_t fwd[MAX_CONTEXT + 1];
+      fwd[0] = 0;
+      for (int c = 1; c <= MAX_CONTEXT; c++)
+        fwd[c] = (fwd[c - 1] << 8) | win[(pos + c - 1) & (WINDOW - 1)];
       for (int c = MAX_CONTEXT; c >= 0; c--) {
-        uint64_t k = 0;
-        int64_t q = pos & (WINDOW - 1);
-        for (int i = 0; i < c; i++) {
-          k = (k << 8) | win[q & (WINDOW - 1)];
-          q++;
-          if (q >= WINDOW) q = 0;
-        }
-        uint64_t cc = k | ((uint64_t)(c + 1) << 41);
+        uint64_t cc = fwd[c] | ((uint64_t)(c + 1) << 41);
         DenseMTF* m = find(cc, c);
         if (m && --m->refcount <= 0) drop(cc, c);
       }
@@ -1616,9 +1709,11 @@ struct Model {
   void encode(rc::Enc& e, int32_t symbol) {
     int64_t p0 = pos;
     Exclude ex;
+    uint64_t ks[MAX_CONTEXT + 1];
+    ctx_keys(p0, ks);
     int c;
     for (c = MAX_CONTEXT; c >= 0; c--) {
-      DenseMTF* m = find(ctx_key(p0, c), c);
+      DenseMTF* m = find(ks[c], c);
       if (m) {
         int32_t r = m->encode(e, symbol, ex);
         if (r == 1) {
@@ -1633,10 +1728,12 @@ struct Model {
   int32_t decode(rc::Dec& d) {
     int64_t p0 = pos;
     Exclude ex;
+    uint64_t ks[MAX_CONTEXT + 1];
+    ctx_keys(p0, ks);
     int c;
     int32_t symbol = -1;
     for (c = MAX_CONTEXT; c >= 0; c--) {
-      DenseMTF* m = find(ctx_key(p0, c), c);
+      DenseMTF* m = find(ks[c], c);
       if (m) {
         symbol = m->decode(d, ex);
         if (symbol >= 0) {
