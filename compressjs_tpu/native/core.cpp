@@ -648,15 +648,23 @@ struct Dec {
       range = (range << 8) & M32;
     }
   }
+  // The three guards below never fire on a valid stream (totals are
+  // 1..2^23 <= range after normalize, and decoded sy_f >= 1); they cap
+  // what a CORRUPT stream can do at garbage output instead of SIGFPE
+  // (division by zero) or a zero range that would spin normalize()
+  // forever.
   inline uint32_t decode_cul_freq(uint32_t tot_f) {
     normalize();
+    if (tot_f == 0) tot_f = 1;
     help = range / tot_f;
+    if (help == 0) help = 1;
     uint64_t tmp = low / help;
     return (uint32_t)(tmp >= tot_f ? tot_f - 1 : tmp);
   }
   inline uint32_t decode_cul_shift(uint32_t shift) {
     normalize();
     help = range >> shift;
+    if (help == 0) help = 1;
     uint64_t tmp = low / help;
     return (uint32_t)((tmp >> shift) ? (1ULL << shift) - 1 : tmp);
   }
@@ -665,6 +673,7 @@ struct Dec {
     low -= tmp;
     if (lt_f + sy_f < tot_f) range = help * sy_f;
     else range -= tmp;
+    if (range == 0) range = 1;
   }
 };
 
@@ -2457,6 +2466,9 @@ int64_t cz_lzp3_decode(const uint8_t* in, int64_t in_len,
       int64_t prev_len = (p >> lzp3::LOG_WINDOW) + 1;
       int64_t match_len = lens[match_context & 15].decode(d);
       if (match_len < 0) match_len = prev_len;
+      // a corrupt stream can code a match longer than the remaining
+      // output; clamp so the copy below cannot write past `out`
+      if (match_len > n - o) match_len = n - o;
       for (int64_t k = 0; k < match_len; k++) {
         uint8_t ch = w.get(p + k);
         out[o++] = w.put(ch);

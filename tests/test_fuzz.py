@@ -46,6 +46,28 @@ def test_fuzz_roundtrip(name):
         assert out == bytes(data), (name, seed, len(data))
 
 
+@pytest.mark.parametrize('name', ['Lzp3', 'PPM', 'Simple', 'Dmc',
+                                  'Bzip2', 'BWTC', 'LzjbR'])
+def test_corrupt_stream_never_crashes(name):
+    """Byte-flipped compressed streams must raise or decode to garbage —
+    never take down the process.  Before the rc::Dec guards and the LZP3
+    match clamp landed, lzp3 corrupted the heap (OOB match copy) and
+    ppm/simple hit SIGFPE (zero totals through the range coder), so this
+    runs IN-PROCESS on purpose: a regression kills pytest loudly."""
+    codec = getattr(cz, name)
+    data = open('/root/reference/test/sample1.ref', 'rb').read()[:60000]
+    comp = np.asarray(codec.compress_file(data), dtype=np.uint8)
+    for seed in range(12):
+        rng = np.random.RandomState(zlib.crc32(name.encode()) % 99991 + seed)
+        bad = comp.copy()
+        idx = rng.randint(0, len(bad), size=rng.randint(1, 16))
+        bad[idx] = rng.randint(0, 256, size=len(idx))
+        try:
+            codec.decompress_file(bad)
+        except Exception:
+            pass  # clean failure is the contract; crashing is not
+
+
 def test_suffix_sort_large_structured():
     """Large structured inputs exercise the SA-IS naming equivalence:
     LMS substrings that are equal up to (but not including) their
