@@ -151,6 +151,10 @@ def _load():
 
 
 def available():
+    # kill-switch: force every pure-Python fallback path (debugging,
+    # fallback-parity fuzzing, platforms without a C++ toolchain)
+    if os.environ.get('COMPRESSJS_TPU_NO_NATIVE'):
+        return False
     return _load() is not None
 
 
