@@ -142,6 +142,55 @@ def bwt_block(block, n):
     return U, pidx
 
 
+def _lf_mapping(U32, n):
+    """LF[i] = C[U[i]] + occ[i] as the inverse of the stable
+    (char, index) sort permutation — two device sorts, no scatter
+    conflicts."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, order = lax.sort((U32, idx), num_keys=2)
+    lf = jnp.zeros(n, dtype=jnp.int32).at[order].set(idx)
+    return lf
+
+
+def _orbit_from_dev(f, t0, n):
+    """[t0, f(t0), ..., f^{n-1}(t0)] by doubling: ceil(log2 n) gather
+    rounds, each O(n) parallel work — the TPU form of the sequential
+    LF-chain walk (static n, so the concat shapes unroll at trace
+    time)."""
+    seq = jnp.array([t0], dtype=jnp.int32)
+    g = f
+    while seq.shape[0] < n:
+        take = min(seq.shape[0], n - seq.shape[0])
+        seq = jnp.concatenate([seq, g[seq[:take]]])
+        if seq.shape[0] < n:
+            g = g[g]
+    return seq
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def inverse_bwt_block(U, n, pidx):
+    """Invert the cyclic BWT on device (decoder dual of bwt_block):
+    returns the original block.  Mirrors ops.bwt.inverse_bwt_cyclic
+    (reference LF chain, Bzip2.js:369-394)."""
+    U = U[:n]
+    lf = _lf_mapping(U.astype(jnp.int32), n)
+    seq = _orbit_from_dev(lf, pidx, n)
+    return U[seq][::-1]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def inverse_bwt_eof_block(T, n, pidx):
+    """Invert the EOF-terminated BWT on device (decoder dual of
+    bwt_eof_block; reference BWT.js:352-363 contract): returns the
+    original block given the unbwtransform-style (T, pidx)."""
+    T = T[:n]
+    f = _lf_mapping(T.astype(jnp.int32), n)
+    f = f + (f < pidx).astype(jnp.int32)
+    f = jnp.minimum(f, n - 1)   # pidx == n: computed but never walked
+    seq = _orbit_from_dev(f, jnp.int32(0), n)
+    return T[seq][::-1]
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def bwt_block_batch(blocks, n):
     """Cyclic BWT of a (B, n) batch of equal-length blocks in ONE

@@ -186,6 +186,33 @@ def test_device_bwtc_encoder_byte_parity(ref_samples):
     assert bytes(BWTC.decompress_file(dev)) == data
 
 
+def test_device_inverse_bwt_kernels():
+    """inverse_bwt_block / inverse_bwt_eof_block (orbit-doubling LF
+    walk) invert the device forward transforms and match the host
+    inverses, including the pidx==n periodic edge."""
+    from compressjs_tpu.ops import jax_kernels as jk
+    from compressjs_tpu.ops import bwt as bwt_ops
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        n = int(rng.randint(2, 2000))
+        T = rng.randint(0, rng.choice([2, 256]), size=n).astype(np.uint8)
+        U = np.zeros(n, np.uint8)
+        pidx = bwt_ops.bwtransform2(T, U, n, 256)
+        assert np.array_equal(np.asarray(jk.inverse_bwt_block(U, n, pidx)),
+                              T), trial
+        Ue = np.zeros(n, np.uint8)
+        A = np.zeros(n, np.int32)
+        pe = bwt_ops.bwtransform(T, Ue, A, n, 256)
+        assert np.array_equal(
+            np.asarray(jk.inverse_bwt_eof_block(Ue, n, pe)), T), trial
+    T = np.frombuffer(b'ba' * 700, np.uint8)   # pidx == n edge
+    n = T.shape[0]
+    Ue = np.zeros(n, np.uint8)
+    A = np.zeros(n, np.int32)
+    pe = bwt_ops.bwtransform(T, Ue, A, n, 256)
+    assert np.array_equal(np.asarray(jk.inverse_bwt_eof_block(Ue, n, pe)), T)
+
+
 def test_device_eof_bwt_matches_host():
     d = _data(20000, 11)
     U_dev, pidx_dev = jk.bwt_eof_block(jnp.asarray(d), len(d))
