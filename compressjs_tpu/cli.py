@@ -125,11 +125,15 @@ def main(argv=None):
         return 1
 
     out_bytes = bytes(np.asarray(out, dtype=np.uint8))
-    if args.outfile:
-        with open(args.outfile, 'wb') as f:
-            f.write(out_bytes)
-    else:
-        sys.stdout.buffer.write(out_bytes)
+    try:
+        if args.outfile:
+            with open(args.outfile, 'wb') as f:
+                f.write(out_bytes)
+        else:
+            sys.stdout.buffer.write(out_bytes)
+    except OSError as e:
+        print('error: %s' % e, file=sys.stderr)
+        return 1
     return 0
 
 

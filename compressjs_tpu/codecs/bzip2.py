@@ -78,6 +78,18 @@ def _throw(code, detail=None):
 # ===========================================================================
 # encoder
 
+def mtf_rle2(U, alphabet, alphabet_size):
+    """MTF + RLE2 + histogram: the fused native scan, or the numpy
+    three-pass fallback.  Shared by this module and parallel.pipeline —
+    the single site for the native-vs-fallback dispatch."""
+    if _native is not None and _native.available():
+        return _native.mtf_rle2(U, alphabet)
+    mtf_seq = mtf_ops.mtf_encode(U, alphabet)
+    syms = rle_ops.mtf_rle2_encode(mtf_seq, alphabet_size + 1)
+    freq = np.bincount(syms, minlength=alphabet_size + 2)
+    return syms, freq
+
+
 def compress_block_bits(block):
     """Compress one RLE1-packed block to a header+payload bit array
     (everything after the 48-bit magic and 32-bit CRC;
@@ -106,12 +118,7 @@ def compress_block_bits(block):
 
     # MTF then RLE2 (RUNA/RUNB) with EOB; the native path fuses both
     # passes (one scan of U instead of three array passes)
-    if _native is not None and _native.available():
-        syms, freq = _native.mtf_rle2(U, alphabet)
-    else:
-        mtf_seq = mtf_ops.mtf_encode(U, alphabet)
-        syms = rle_ops.mtf_rle2_encode(mtf_seq, end_of_block)
-        freq = np.bincount(syms, minlength=end_of_block + 1)
+    syms, freq = mtf_rle2(U, alphabet, alphabet_size)
 
     # Huffman groups + selectors
     length_matrix, selectors = hs.optimize_groups(syms, end_of_block + 1,
@@ -191,38 +198,46 @@ def compress_file(input_data, output=None, props=None):
                 else np.zeros(0, dtype=np.uint8))
 
     # RLE1 boundaries are the only serial dependency between blocks
-    # (each block's start is the previous block's consumed end); scan
-    # them first, then compress the independent blocks on a thread pool
-    # — the native SA-IS/entropy calls release the GIL, so this scales
-    # with host cores even from Python.
-    blocks = []
-    start = 0
-    while True:
-        block, consumed = rle_ops.rle1_encode(data, start, block_size)
-        if block.shape[0] > 0:
-            blocks.append((block, start, consumed))
-        start += consumed
-        if block.shape[0] != block_size:
-            break
-
+    # (each block's start is the previous block's consumed end), so the
+    # independent blocks are compressed on a thread pool — the native
+    # SA-IS/entropy calls release the GIL, so this scales with host
+    # cores even from Python.  In-flight work is bounded (a few blocks
+    # plus their bit arrays), keeping peak memory O(workers * block)
+    # instead of buffering the whole file's results.
     import os as _os
-    workers = min(len(blocks), _os.cpu_count() or 1)
-    if workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(workers) as ex:
-            results = list(ex.map(
-                lambda b: (crc32_bzip2(data[b[1]:b[1] + b[2]]),
-                           compress_block_bits(b[0])), blocks))
-    else:
-        results = [(crc32_bzip2(data[s:s + c]), compress_block_bits(b))
-                   for b, s, c in blocks]
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(8, _os.cpu_count() or 1))
+
+    def job(block, start, consumed):
+        return (crc32_bzip2(data[start:start + consumed]),
+                compress_block_bits(block))
 
     stream_crc = 0
-    for crc, bits in results:
-        stream_crc = stream_crc_combine(stream_crc, crc)
-        out.write_bits(48, WHOLEPI)
-        out.write_bits(32, crc)
-        out.write_bit_array(bits)
+    with ThreadPoolExecutor(workers) as ex:
+        inflight = deque()
+        start = 0
+        done = False
+
+        def drain(fut):
+            nonlocal stream_crc
+            crc, bits = fut.result()
+            stream_crc = stream_crc_combine(stream_crc, crc)
+            out.write_bits(48, WHOLEPI)
+            out.write_bits(32, crc)
+            out.write_bit_array(bits)
+
+        while not done:
+            block, consumed = rle_ops.rle1_encode(data, start, block_size)
+            done = block.shape[0] != block_size
+            if block.shape[0] > 0:
+                inflight.append(ex.submit(job, block, start, consumed))
+            start += consumed
+            while len(inflight) > workers + 1:
+                drain(inflight.popleft())
+        while inflight:
+            drain(inflight.popleft())
 
     out.write_bits(48, SQRTPI)
     out.write_bits(32, stream_crc)

@@ -152,8 +152,10 @@ def _load():
 
 def available():
     # kill-switch: force every pure-Python fallback path (debugging,
-    # fallback-parity fuzzing, platforms without a C++ toolchain)
-    if os.environ.get('COMPRESSJS_TPU_NO_NATIVE'):
+    # fallback-parity fuzzing, platforms without a C++ toolchain);
+    # conventional "off" spellings keep native enabled
+    if os.environ.get('COMPRESSJS_TPU_NO_NATIVE', '').lower() \
+            not in ('', '0', 'false', 'no'):
         return False
     return _load() is not None
 

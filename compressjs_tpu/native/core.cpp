@@ -160,8 +160,9 @@ void sais_core(const CharT* T, IdxT* SA, IdxT n, IdxT K) {
   induce<CharT, IdxT>(T, SA, n, K, cnt.data(), stype, bkt);
 }
 
-// Suffix sort into int32 indices (n must be < 2^31 - 1; enforced by the
-// extern "C" wrappers which fall back per-call if ever violated).
+// Suffix sort into int32 indices.  Callers must keep n (doubled for the
+// cyclic wrapper) below 2^31 - 2; the extern "C" wrappers reject larger
+// inputs and the Python layer routes them to the numpy path.
 void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
   // append a virtual sentinel by shifting the alphabet up by one
   std::vector<uint16_t> T2(n + 1);
@@ -180,7 +181,7 @@ extern "C" {
 // Suffix array of T[0..n-1] (EOF-terminated semantics: shorter suffixes
 // that are prefixes sort first — matching a virtual sentinel < all).
 void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
-  if (n <= 0) return;
+  if (n <= 0 || n >= (int64_t)INT32_MAX - 1) return;  // Python layer guards
   if (n == 1) { SA[0] = 0; return; }
   std::vector<int32_t> SA32(n);
   suffix_sort32(T, SA32.data(), (int32_t)n);
@@ -190,7 +191,7 @@ void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
 // Cyclic BWT via doubled string (ties: larger start index first).
 // Returns pidx.
 int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
-  if (n <= 0) return 0;
+  if (n <= 0 || 2 * n >= (int64_t)INT32_MAX - 1) return 0;
   if (n == 1) { U[0] = T[0]; return 0; }
   std::vector<uint8_t> TT(2 * n);
   std::memcpy(TT.data(), T, n);
@@ -211,7 +212,7 @@ int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
 // EOF-terminated BWT (reference bwtransform contract): U[0]=T[n-1], the
 // suffix-0 slot is skipped; returns pidx+1.
 int64_t cz_bwt_eof(const uint8_t* T, uint8_t* U, int64_t n) {
-  if (n <= 0) return 0;
+  if (n <= 0 || n >= (int64_t)INT32_MAX - 1) return 0;
   if (n == 1) { U[0] = T[0]; return 1; }
   std::vector<int32_t> SA(n);
   suffix_sort32(T, SA.data(), (int32_t)n);

@@ -24,8 +24,15 @@ except Exception:  # pragma: no cover
     _native = None
 
 
-def _use_native():
-    return _native is not None and _native.available()
+# native SA-IS works in int32 (the cyclic path sorts a doubled string);
+# larger inputs route to the numpy paths, which are O(n log n) but
+# index in int64
+_NATIVE_MAX_N = (1 << 30) - 2
+
+
+def _use_native(n=0):
+    return (_native is not None and _native.available()
+            and n < _NATIVE_MAX_N)
 
 
 def suffix_array(T, n=None):
@@ -113,7 +120,7 @@ def cyclic_suffix_array(T, n=None):
 
 def suffixsort(T, SA, n, alphabet_size=256):
     """Fill SA[0..n-1] with the suffix array of T.  Returns 0."""
-    if _use_native() and n > 4096:
+    if _use_native(n) and n > 4096:
         SA[:n] = _native.suffix_sort(np.asarray(T)[:n])
         return 0
     sa = suffix_array(T, n)
@@ -130,7 +137,7 @@ def bwtransform(T, U, A, n, alphabet_size=256):
         if n == 1:
             U[0] = T[0]
         return n
-    if _use_native() and n > 4096:
+    if _use_native(n) and n > 4096:
         Un, pidx = _native.bwt_eof(T[:n])
         U[:n] = Un
         return pidx
@@ -154,7 +161,7 @@ def unbwtransform(T, U, LF, n, pidx):
     rounds of `seq = concat(seq, f[seq])` with `f = f∘f` — all gathers.
     The native runtime's direct LF walk is used when present."""
     T = np.asarray(T)[:n]
-    if _use_native() and n > 4096:
+    if _use_native(n) and n > 4096:
         U[:n] = _native.inverse_bwt_eof(T, pidx)
         # LF is caller scratch (as in the reference, which leaves its A
         # full of occ counts nothing reads) — don't spend a pass on it
@@ -220,7 +227,7 @@ def bwtransform2(T, U, n, alphabet_size=256):
         if n == 1:
             U[0] = T[0]
         return 0
-    if _use_native() and n > 4096:
+    if _use_native(n) and n > 4096:
         Un, pidx = _native.bwt_cyclic(T[:n])
         U[:n] = Un
         return pidx

@@ -42,14 +42,7 @@ except Exception:  # pragma: no cover
     _native = None
 
 
-def _mtf_rle2(U, alphabet, alphabet_size):
-    """MTF + RLE2 + histogram (native fused loop, numpy fallback)."""
-    if _native is not None and _native.available():
-        return _native.mtf_rle2(U, alphabet)
-    mtf_seq = mtf_ops.mtf_encode(U, alphabet)
-    syms = rle_ops.mtf_rle2_encode(mtf_seq, alphabet_size + 1)
-    freq = np.bincount(syms, minlength=alphabet_size + 2)
-    return syms, freq
+from ..codecs.bzip2 import mtf_rle2 as _mtf_rle2  # shared fused scan
 
 
 def _split_blocks(data, block_size):
@@ -281,8 +274,10 @@ class DeviceBzip2Encoder:
             raise AssertionError('device pidx mismatch vs host')
 
 
-def compress_file_device(data, output=None, level=9, batch=None):
-    return DeviceBzip2Encoder(level).compress(data, output)
+def compress_file_device(data, output=None, level=9, mode='hybrid',
+                         batch=False):
+    return DeviceBzip2Encoder(level, mode=mode,
+                              batch=batch).compress(data, output)
 
 
 class DeviceBWTCEncoder:

@@ -46,22 +46,25 @@ def test_fuzz_roundtrip(name):
         assert out == bytes(data), (name, seed, len(data))
 
 
-@pytest.mark.parametrize('name', ['Lzp3', 'PPM', 'Simple', 'Dmc',
-                                  'Bzip2', 'BWTC', 'LzjbR'])
+@pytest.mark.parametrize('name', CODECS)
 def test_corrupt_stream_never_crashes(name):
-    """Byte-flipped compressed streams must raise or decode to garbage —
-    never take down the process.  Before the rc::Dec guards and the LZP3
-    match clamp landed, lzp3 corrupted the heap (OOB match copy) and
-    ppm/simple hit SIGFPE (zero totals through the range coder), so this
-    runs IN-PROCESS on purpose: a regression kills pytest loudly."""
+    """Byte-flipped or truncated compressed streams must raise or decode
+    to garbage — never take down the process.  Before the rc::Dec guards
+    and the LZP3 match clamp landed, lzp3 corrupted the heap (OOB match
+    copy) and ppm/simple hit SIGFPE (zero totals through the range
+    coder), so this runs IN-PROCESS on purpose: a regression kills
+    pytest loudly."""
     codec = getattr(cz, name)
-    data = open('/root/reference/test/sample1.ref', 'rb').read()[:60000]
+    data = open('/root/reference/test/sample1.ref', 'rb').read()[:30000]
     comp = np.asarray(codec.compress_file(data), dtype=np.uint8)
     for seed in range(12):
         rng = np.random.RandomState(zlib.crc32(name.encode()) % 99991 + seed)
-        bad = comp.copy()
-        idx = rng.randint(0, len(bad), size=rng.randint(1, 16))
-        bad[idx] = rng.randint(0, 256, size=len(idx))
+        if seed % 3 == 2:    # truncation
+            bad = comp[:rng.randint(1, len(comp))].copy()
+        else:                # byte flips
+            bad = comp.copy()
+            idx = rng.randint(0, len(bad), size=rng.randint(1, 16))
+            bad[idx] = rng.randint(0, 256, size=len(idx))
         try:
             codec.decompress_file(bad)
         except Exception:
