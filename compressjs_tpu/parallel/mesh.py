@@ -129,6 +129,29 @@ def mesh_compress_bzip2(mesh, data, level=9):
     return o.retval
 
 
+def sharded_block_decode(mesh, Us, pidxs, eof=False):
+    """Decode-side dual of sharded_block_encode: invert B equal-length
+    BWT columns sharded over the mesh's 'dp' axis (one block batch per
+    device, orbit-doubling LF walk on each lane).
+
+    Us: (B, n) uint8 BWT output columns; pidxs: (B,) int32.  eof=False
+    inverts the cyclic transform (bzip2, ops.jax_kernels.bwt_block),
+    eof=True the EOF-terminated one (BWTC, bwt_eof_block).  Returns the
+    original (B, n) blocks, sharded the same way."""
+    n = Us.shape[1]
+    inv = jk.inverse_bwt_eof_block if eof else jk.inverse_bwt_block
+
+    def per_shard(U_s, pidx_s):
+        return jax.vmap(lambda u, p: inv(u, n, p))(U_s, pidx_s)
+
+    f = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P('dp', None), P('dp')),
+        out_specs=P('dp', None),
+        check_rep=False)
+    return jax.jit(f)(Us, pidxs)
+
+
 def prepare_blocks(raw_blocks):
     """Host prep: dense-alphabet remap tables and EOB symbols per block."""
     remaps = []

@@ -223,6 +223,31 @@ def test_device_eof_bwt_matches_host():
     assert (np.asarray(U_dev) == U).all()
 
 
+def test_sharded_block_decode():
+    """Mesh decode dual: forward BWT per block, then invert sharded over
+    the 8-device CPU mesh — both the cyclic and EOF contracts."""
+    from compressjs_tpu.parallel import mesh as mesh_mod
+    from compressjs_tpu.ops import bwt as bwt_ops
+    import jax
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    rng = np.random.RandomState(21)
+    n = 1536
+    B = 8
+    blocks = rng.randint(0, 256, size=(B, n)).astype(np.uint8)
+    for eof in (False, True):
+        Us = np.zeros_like(blocks)
+        pidxs = np.zeros(B, np.int32)
+        for i in range(B):
+            if eof:
+                A = np.zeros(n, np.int32)
+                pidxs[i] = bwt_ops.bwtransform(blocks[i], Us[i], A, n, 256)
+            else:
+                pidxs[i] = bwt_ops.bwtransform2(blocks[i], Us[i], n, 256)
+        out = np.asarray(mesh_mod.sharded_block_decode(
+            mesh, jnp.asarray(Us), jnp.asarray(pidxs), eof=eof))
+        assert np.array_equal(out, blocks), eof
+
+
 def test_mesh_compress_bzip2_end_to_end(ref_samples):
     """BASELINE config: blocks sharded over the mesh, ordered gather,
     bit-concatenated standard container — byte-identical to the host."""
