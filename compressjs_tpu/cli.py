@@ -108,7 +108,16 @@ def main(argv=None):
         print('error: %s' % e, file=sys.stderr)
         return 1
 
+    # with an output file, stream codec output straight to disk
+    # (O(buffer) memory; block extraction returns an array and keeps
+    # the in-memory path)
+    from .utils.stream import FileOutputStream
+    sink = None
+    out = None
     try:
+        if args.outfile and args.block < 0:
+            sink_file = open(args.outfile, 'wb')
+            sink = FileOutputStream(sink_file)
         if args.decompress:
             if args.block >= 0:
                 if not hasattr(codec, 'decompress_block'):
@@ -117,10 +126,22 @@ def main(argv=None):
                     return 1
                 out = codec.decompress_block(data, args.block)
             else:
-                out = codec.decompress_file(data)
+                out = codec.decompress_file(data, sink) if sink is not None \
+                    else codec.decompress_file(data)
         else:
-            out = codec.compress_file(data, None, level)
-    except Exception as e:  # corrupt input: clean message, not a traceback
+            out = codec.compress_file(data, sink, level)
+        if sink is not None:
+            sink.flush()
+            sink_file.close()
+            return 0
+    except Exception as e:  # corrupt input / IO: clean message
+        if sink is not None:   # don't leave a partial output file behind
+            import os as _os
+            try:
+                sink_file.close()
+                _os.unlink(args.outfile)
+            except OSError:
+                pass
         print('error: %s' % e, file=sys.stderr)
         return 1
 

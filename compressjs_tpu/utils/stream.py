@@ -187,6 +187,47 @@ class _OutputWrapper:
         return self.stream.get_buffer()
 
 
+class FileOutputStream(Stream):
+    """Write-through to a binary file object with an internal buffer.
+
+    Framework extension: lets the CLI stream codec output to disk in
+    O(buffer) memory instead of materializing the whole result (the
+    reference CLI buffers entire files).  Call flush() when done."""
+
+    def __init__(self, fileobj, bufsize=1 << 20):
+        self.f = fileobj
+        self._buf = bytearray()
+        self._bufsize = bufsize
+        self.count = 0
+
+    def write_byte(self, byte):
+        self._buf.append(byte & 0xFF)
+        self.count += 1
+        if len(self._buf) >= self._bufsize:
+            self.f.write(self._buf)
+            self._buf = bytearray()
+
+    def write(self, buf, buf_offset, length):
+        chunk = buf[buf_offset:buf_offset + length]
+        if isinstance(chunk, np.ndarray):
+            chunk = chunk.tobytes()
+        self._buf += bytes(chunk)
+        self.count += length
+        if len(self._buf) >= self._bufsize:
+            self.f.write(self._buf)
+            self._buf = bytearray()
+        return length
+
+    def write_array(self, arr):
+        return self.write(arr, 0, len(arr))
+
+    def flush(self):
+        if self._buf:
+            self.f.write(self._buf)
+            self._buf = bytearray()
+        self.f.flush()
+
+
 def coerce_output_stream(output, size=None):
     """Accept a stream or None; return wrapper with .stream and .retval
     (reference contract: Util.js:85-103)."""
