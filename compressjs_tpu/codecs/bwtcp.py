@@ -47,8 +47,11 @@ F_PROB_MAX = 0xFF00
 F_PROB_INCR = 0x0100
 
 
-def _encode_block(block, level):
-    """One self-contained block stream (bytes)."""
+def _encode_block(block, level, pre=None):
+    """One self-contained block stream (bytes).  `pre` optionally
+    supplies a precomputed (U, pidx) EOF BWT — the mesh encoder
+    (parallel.mesh.mesh_compress_bwtcp) runs the transforms sharded on
+    devices and hands them in here."""
     from .bwtc import _encode_usage_tree
     fast = level <= 5
     length = block.shape[0]
@@ -59,9 +62,13 @@ def _encode_block(block, level):
     bit_model_factory = NoModel.factory(enc)
     len_model = LogDistanceModel(level * 100000, 0,
                                  bit_model_factory, bit_model_factory)
-    U = np.zeros(length, dtype=np.uint8)
-    A = np.zeros(length, dtype=np.int32)
-    pidx = bwt_ops.bwtransform(block, U, A, length, 256)
+    if pre is not None:
+        U, pidx = pre
+        U = np.asarray(U, dtype=np.uint8)
+    else:
+        U = np.zeros(length, dtype=np.uint8)
+        A = np.zeros(length, dtype=np.int32)
+        pidx = bwt_ops.bwtransform(block, U, A, length, 256)
     len_model.encode(length)
     len_model.encode(pidx)
     used = np.zeros(256, dtype=np.int64)

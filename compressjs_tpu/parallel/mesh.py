@@ -152,6 +152,78 @@ def sharded_block_decode(mesh, Us, pidxs, eof=False):
     return jax.jit(f)(Us, pidxs)
 
 
+def sharded_bwt_eof(mesh, blocks):
+    """EOF-terminated BWT of B equal-length blocks over the dp axis:
+    returns (U (B, n) uint8, pidx (B,) int32) — the transform stage of
+    the mesh BWTC/BWTCP encoders."""
+    n = blocks.shape[1]
+
+    def per_shard(blocks_s):
+        return jax.vmap(lambda b: jk.bwt_eof_block(b, n))(blocks_s)
+
+    f = shard_map(per_shard, mesh=mesh,
+                  in_specs=P('dp', None),
+                  out_specs=(P('dp', None), P('dp')),
+                  check_rep=False)
+    return jax.jit(f)(blocks)
+
+
+def mesh_compress_bwtcp(mesh, data, level=9):
+    """Data-parallel BWTC-P encode over the mesh: the per-block BWTs run
+    sharded on devices (sharded_bwt_eof) and the per-block independent
+    range coders run on host threads — BWTCP is the framework's
+    parallel-stream container (codecs/bwtcp.py), so unlike BWTC there is
+    no sequential coder to serialize on.  Byte-identical to
+    BWTCP.compress_file."""
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    from ..codecs import bwtcp as bwtcp_mod
+    from ..utils import util
+    from ..utils.stream import BufferStream
+
+    data = np.asarray(data, dtype=np.uint8) \
+        if isinstance(data, np.ndarray) \
+        else np.frombuffer(bytes(data), dtype=np.uint8)
+    level = int(level)
+    bs = level * 100000
+    blocks = [data[i:i + bs] for i in range(0, max(len(data), 1), bs)] \
+        if len(data) else []
+
+    # device transform for the equal-length full blocks (padded to a
+    # mesh multiple; pad lanes discarded)
+    full = [i for i, b in enumerate(blocks) if b.shape[0] == bs]
+    pre = {}
+    if len(full) > 1:
+        raw = [blocks[i] for i in full]
+        n_dev = mesh.devices.size
+        while len(raw) % n_dev:
+            raw.append(raw[-1])
+        U_all, pidx_all = sharded_bwt_eof(mesh, jnp.asarray(np.stack(raw)))
+        U_all = np.asarray(U_all)
+        pidx_all = np.asarray(pidx_all)
+        for k, i in enumerate(full):
+            pre[i] = (U_all[k], int(pidx_all[k]))
+
+    workers = min(8, _os.cpu_count() or 2)
+    with ThreadPoolExecutor(workers) as ex:
+        payloads = list(ex.map(
+            lambda i: bwtcp_mod._encode_block(blocks[i], level,
+                                              pre.get(i)),
+            range(len(blocks))))
+
+    out = BufferStream()
+    for ch in bwtcp_mod.MAGIC:
+        out.write_byte(ord(ch))
+    util.write_unsigned_number(out, len(data) + 1)
+    out.write_byte(level)
+    util.write_unsigned_number(out, len(payloads))
+    for p in payloads:
+        util.write_unsigned_number(out, len(p))
+    for p in payloads:
+        out.write_array(p)
+    return out.get_buffer()
+
+
 def prepare_blocks(raw_blocks):
     """Host prep: dense-alphabet remap tables and EOB symbols per block."""
     remaps = []

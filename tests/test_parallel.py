@@ -248,6 +248,20 @@ def test_sharded_block_decode():
         assert np.array_equal(out, blocks), eof
 
 
+def test_mesh_compress_bwtcp_end_to_end(ref_samples):
+    """BWTCP over the mesh: sharded device EOF BWTs + threaded
+    independent host coders — byte-identical to the host codec."""
+    from compressjs_tpu.parallel import mesh as mesh_mod
+    import compressjs_tpu as cz
+    mesh = mesh_mod.make_mesh(jax.devices()[:4])
+    data = ref_samples['sample2'] * 3   # 3 full blocks + tail at level 1:
+    ref = bytes(cz.BWTCP.compress_file(data, None, 1))  # pads 3 -> 4 lanes
+    got = bytes(mesh_mod.mesh_compress_bwtcp(
+        mesh, np.frombuffer(data, np.uint8), 1))
+    assert got == ref
+    assert bytes(cz.BWTCP.decompress_file(got)) == data
+
+
 def test_mesh_compress_bzip2_end_to_end(ref_samples):
     """BASELINE config: blocks sharded over the mesh, ordered gather,
     bit-concatenated standard container — byte-identical to the host."""
