@@ -230,10 +230,14 @@ def compress_file(input_data, output=None, props=None):
 
         while not done:
             block, consumed = rle_ops.rle1_encode(data, start, block_size)
-            done = block.shape[0] != block_size
-            if block.shape[0] > 0:
-                inflight.append(ex.submit(job, block, start, consumed))
+            # a block can be short of block_size mid-stream (the RLE1
+            # count-byte back-off defers a byte), so termination is by
+            # input position, not block fill
             start += consumed
+            done = consumed == 0 or start >= data.shape[0]
+            if block.shape[0] > 0:
+                inflight.append(ex.submit(job, block, start - consumed,
+                                          consumed))
             while len(inflight) > workers + 1:
                 drain(inflight.popleft())
         while inflight:

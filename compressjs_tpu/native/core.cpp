@@ -506,9 +506,11 @@ int64_t cz_rle1_encode(const uint8_t* in, int64_t avail, int64_t block_size,
   int64_t i = 0;         // input position
   int last = -1;
   int64_t run = 0;
+  bool counted = false;  // current 4-run's count byte already emitted?
   while (pos < block_size) {
     if (run == 4) {
       out[pos++] = 0;  // count byte, incremented as extras arrive
+      counted = true;
       if (pos >= block_size) break;
     }
     if (i >= avail) break;
@@ -516,6 +518,7 @@ int64_t cz_rle1_encode(const uint8_t* in, int64_t avail, int64_t block_size,
     if (c != last) {
       last = c;
       run = 1;
+      counted = false;
     } else {
       run++;
       if (run > 4) {
@@ -524,9 +527,19 @@ int64_t cz_rle1_encode(const uint8_t* in, int64_t avail, int64_t block_size,
           continue;
         }
         run = 1;
+        counted = false;
       }
     }
     out[pos++] = (uint8_t)c;
+  }
+  // never end a block with a 4-run awaiting its count byte: C bzip2
+  // reads the count from the same block, so such streams are rejected.
+  // (The JS reference emits the dangling run — a reference bug; we
+  // defer the 4th byte to the next block instead, which decodes
+  // identically everywhere.)
+  if (run == 4 && !counted && pos >= block_size && pos > 0) {
+    pos--;
+    i--;
   }
   *consumed_io = i;
   return pos;

@@ -132,6 +132,7 @@ def _emit_partial_run(v, L, cap):
     out = []
     used = 0
     remaining = L
+    dangling = False
     while remaining > 0:
         # new piece: up to 4 literal bytes, capacity checked before each
         lit = min(remaining, 4)
@@ -141,9 +142,13 @@ def _emit_partial_run(v, L, cap):
         used += take
         remaining -= take
         if take < lit or remaining == 0:
-            break  # capacity ran out mid-literals, or run ended (<4 tail)
+            # capacity ran out mid-literals, or run ended; 4 literals
+            # without a count byte would dangle
+            dangling = take == 4 and cap == 0
+            break
         # count byte requires one output slot (checked at loop top)
         if cap == 0:
+            dangling = True
             break  # extras (and the rest of the run) go to the next block
         cap -= 1
         if cap == 0:
@@ -157,6 +162,12 @@ def _emit_partial_run(v, L, cap):
         remaining -= extras
         # if the run continues, the 256th byte starts a new piece; its
         # literal needs capacity, checked at the top of this loop
+    if dangling:
+        # never end the block with a 4-run whose count byte didn't fit:
+        # C bzip2 reads the count from the same block (the JS reference
+        # dangles the run — a reference bug); defer the 4th byte
+        out.pop()
+        used -= 1
     return np.array(out, dtype=np.uint8), used
 
 

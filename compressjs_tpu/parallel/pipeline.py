@@ -49,15 +49,16 @@ def _split_blocks(data, block_size):
     """Host RLE1 pass: returns list of (packed_block, crc)."""
     out = []
     start = 0
-    while True:
+    n = np.asarray(data).shape[0]
+    while start < n:
         block, consumed = rle_ops.rle1_encode(data, start, block_size)
-        if block.shape[0] == 0:
+        if block.shape[0] == 0 or consumed == 0:
             break
         crc = crc32_bzip2(data[start:start + consumed])
         out.append((block, crc))
+        # termination by input position: mid-stream blocks may be short
+        # of block_size (RLE1 count-byte back-off defers a byte)
         start += consumed
-        if block.shape[0] != block_size:
-            break
     return out
 
 

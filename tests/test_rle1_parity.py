@@ -1,8 +1,15 @@
-"""RLE1 encode parity: the native state machine (a direct transcription of
-the reference readBlock loop, Bzip2.js:636-667), the vectorized numpy
-path, and a Python transcription must agree byte-for-byte on adversarial
-run patterns and block cuts — including the count-byte-at-block-boundary
-case where extras stay unconsumed."""
+"""RLE1 encode parity: the native state machine, the vectorized numpy
+path, and a Python transcription of the reference readBlock loop
+(Bzip2.js:636-667) must agree byte-for-byte on adversarial run patterns
+and block cuts — including the count-byte-at-block-boundary case where
+extras stay unconsumed.
+
+One DELIBERATE deviation from the reference: when a block would end
+with a 4-byte run whose count byte did not fit, the reference emits the
+dangling run — a stream C bzip2 rejects ('Data integrity error').  All
+three implementations here instead defer the run's 4th byte to the next
+block (see rle.py / core.cpp), so the transcription below applies the
+same back-off."""
 
 import numpy as np
 import pytest
@@ -11,14 +18,16 @@ import compressjs_tpu.ops.rle as rr
 
 
 def ref_rle1(data, block_size):
-    """Line-for-line port of the reference loop semantics."""
+    """Port of the reference loop semantics + the dangling-run fix."""
     out = []
     i = 0
     last = -1
     run = 0
+    counted = False
     while len(out) < block_size:
         if run == 4:
             out.append(0)
+            counted = True
             if len(out) >= block_size:
                 break
         if i >= len(data):
@@ -28,6 +37,7 @@ def ref_rle1(data, block_size):
         if c != last:
             last = c
             run = 1
+            counted = False
         else:
             run += 1
             if run > 4:
@@ -35,7 +45,11 @@ def ref_rle1(data, block_size):
                     out[-1] += 1
                     continue
                 run = 1
+                counted = False
         out.append(c)
+    if run == 4 and not counted and len(out) >= block_size and out:
+        out.pop()
+        i -= 1
     return np.array(out, dtype=np.uint8), i
 
 
@@ -67,7 +81,22 @@ def test_numpy_matches_reference_loop(bs):
         rr._native = saved
 
 
-@pytest.mark.parametrize('bs', [5, 997, 5000])
+def test_no_dangling_run_c_interop():
+    """Run-dense inputs used to produce blocks ending with a 4-run and
+    no count byte — streams C bzip2/libbz2 reject ('Invalid data
+    stream') even though lenient decoders roundtrip them.  The back-off
+    must keep every stream C-decodable; libbz2 is the referee."""
+    import bz2
+    from compressjs_tpu.codecs import bzip2 as our
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        data = bytes(rng.randint(0, 2, 300000, dtype=np.uint8))
+        comp = bytes(our.compress_file(data, None, 1))
+        assert bytes(our.decompress_file(comp)) == data, seed
+        assert bz2.decompress(comp) == data, seed
+
+
+@pytest.mark.parametrize('bs', [5, 7, 10, 997, 5000])
 def test_native_matches_reference_loop(bs):
     from compressjs_tpu import native
     if not native.available():
