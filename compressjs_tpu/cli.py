@@ -110,13 +110,19 @@ def main(argv=None):
 
     # with an output file, stream codec output straight to disk
     # (O(buffer) memory; block extraction returns an array and keeps
-    # the in-memory path)
+    # the in-memory path).  Output goes to a temp file renamed into
+    # place on success, so a failure never truncates or deletes a
+    # pre-existing file at the destination (and `cli in out` with
+    # in == out cannot destroy its own input).
+    import os as _os
     from .utils.stream import FileOutputStream
     sink = None
+    tmp_path = None
     out = None
     try:
         if args.outfile and args.block < 0:
-            sink_file = open(args.outfile, 'wb')
+            tmp_path = '%s.tmp.%d' % (args.outfile, _os.getpid())
+            sink_file = open(tmp_path, 'wb')
             sink = FileOutputStream(sink_file)
         if args.decompress:
             if args.block >= 0:
@@ -133,13 +139,13 @@ def main(argv=None):
         if sink is not None:
             sink.flush()
             sink_file.close()
+            _os.replace(tmp_path, args.outfile)
             return 0
     except Exception as e:  # corrupt input / IO: clean message
-        if sink is not None:   # don't leave a partial output file behind
-            import os as _os
+        if sink is not None:   # drop the temp; the destination untouched
             try:
                 sink_file.close()
-                _os.unlink(args.outfile)
+                _os.unlink(tmp_path)
             except OSError:
                 pass
         print('error: %s' % e, file=sys.stderr)

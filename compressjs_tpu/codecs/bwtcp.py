@@ -21,6 +21,7 @@ BWTC look if it were designed for parallel hardware".
 
 from __future__ import annotations
 
+import contextvars
 from concurrent.futures import ThreadPoolExecutor
 import os
 
@@ -45,6 +46,12 @@ except Exception:  # pragma: no cover
 MAGIC = 'bwtP'
 F_PROB_MAX = 0xFF00
 F_PROB_INCR = 0x0100
+
+# per-call hook: maps block index -> precomputed (U, pidx) EOF BWT.
+# parallel.mesh.mesh_compress_bwtcp sets it so the device-sharded
+# transforms flow through the one real container/serialization path
+# below (thread-local via contextvars: concurrent calls stay isolated)
+_PRE_BWT = contextvars.ContextVar('bwtcp_pre_bwt', default=None)
 
 
 def _encode_block(block, level, pre=None):
@@ -149,11 +156,16 @@ def _decode_block(payload, level):
     return U[:length]
 
 
-def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
-    level = 9
+def _level_of(props):
+    """Clamped level from the props argument (default 9)."""
     if isinstance(props, (int, float)) and not isinstance(props, bool) \
             and 1 <= int(props) <= 9:
-        level = int(props)
+        return int(props)
+    return 9
+
+
+def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
+    level = _level_of(props)
     out_stream.write_byte(level)
     block_size = level * 100000
 
@@ -173,11 +185,13 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     blocks = [data[i:i + block_size]
               for i in range(0, max(len(data), 1), block_size)] \
         if len(data) else []
+    pre_map = _PRE_BWT.get() or {}
     workers = min(8, os.cpu_count() or 2)
     if len(blocks) > 1:
         with ThreadPoolExecutor(workers) as ex:
-            payloads = list(ex.map(lambda b: _encode_block(b, level),
-                                   blocks))
+            payloads = list(ex.map(
+                lambda i: _encode_block(blocks[i], level, pre_map.get(i)),
+                range(len(blocks))))
     else:
         payloads = [_encode_block(b, level) for b in blocks]
 

@@ -259,12 +259,19 @@ class _BitReader:
     __slots__ = ('data', 'nbits', 'pos')
 
     def __init__(self, data):
+        # held as a uint8 ndarray VIEW (zero-copy for bytes and for
+        # memmapped inputs — a >RAM compressed file is never
+        # materialized; reads page in on demand)
         if isinstance(data, np.ndarray):
-            data = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+            data = np.ascontiguousarray(data.view(np.uint8)) \
+                if data.dtype != np.uint8 else data
         else:
-            data = bytes(data)
+            data = np.frombuffer(bytes(data) if not
+                                 isinstance(data, (bytes, bytearray,
+                                                   memoryview))
+                                 else data, dtype=np.uint8)
         self.data = data
-        self.nbits = len(data) * 8
+        self.nbits = int(data.shape[0]) * 8
         self.pos = 0
 
     def read_bits(self, n):
@@ -273,7 +280,7 @@ class _BitReader:
         self.pos = pos + n
         end_byte = (pos + n + 7) >> 3
         start_byte = pos >> 3
-        chunk = self.data[start_byte:end_byte]
+        chunk = bytes(self.data[start_byte:end_byte])
         if len(chunk) < end_byte - start_byte:
             chunk = chunk + b'\0' * (end_byte - start_byte - len(chunk))
         val = int.from_bytes(chunk, 'big')
@@ -332,10 +339,10 @@ def _read_block_header(r, dbuf_size):
     # instead of bit-at-a-time — this loop runs ~n/50 times per block.
     max_bits = n_selectors * (group_count + 1)
     start = r.pos
-    nbytes = max(0, min(len(r.data) - (start >> 3),
+    nbytes = max(0, min(r.data.shape[0] - (start >> 3),
                         (max_bits + (start & 7) + 7) >> 3))
-    window = np.frombuffer(r.data, dtype=np.uint8, count=nbytes,
-                           offset=min(start >> 3, len(r.data)))
+    off = min(start >> 3, r.data.shape[0])
+    window = r.data[off:off + nbytes]
     bits = np.unpackbits(window)[start & 7:]
     if bits.shape[0] < max_bits:   # past-EOF bits read as zero
         bits = np.concatenate(
@@ -386,7 +393,7 @@ def _read_block_header(r, dbuf_size):
             limit[i, :len(grp[2])] = grp[2]
             base[i, :len(grp[3])] = grp[3]
             permute[i, :len(grp[4])] = grp[4]
-        data_arr = np.frombuffer(r.data, dtype=np.uint8)
+        data_arr = r.data
         s2b = np.zeros(256, dtype=np.uint8)
         s2b[:sym_total] = sym_to_byte
         try:

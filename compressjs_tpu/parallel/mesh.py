@@ -136,9 +136,21 @@ def sharded_block_decode(mesh, Us, pidxs, eof=False):
 
     Us: (B, n) uint8 BWT output columns; pidxs: (B,) int32.  eof=False
     inverts the cyclic transform (bzip2, ops.jax_kernels.bwt_block),
-    eof=True the EOF-terminated one (BWTC, bwt_eof_block).  Returns the
-    original (B, n) blocks, sharded the same way."""
-    n = Us.shape[1]
+    eof=True the EOF-terminated one (BWTC, bwt_eof_block).  B is padded
+    to a mesh multiple internally (pad lanes repeat the last block and
+    are sliced off), matching the encode duals.  Returns the original
+    (B, n) blocks."""
+    B = int(np.asarray(Us).shape[0])
+    n = np.asarray(Us).shape[1]
+    n_dev = mesh.devices.size
+    if B % n_dev:
+        pad = n_dev - B % n_dev
+        Us = jnp.concatenate([jnp.asarray(Us),
+                              jnp.broadcast_to(jnp.asarray(Us)[-1:],
+                                               (pad, n))])
+        pidxs = jnp.concatenate([jnp.asarray(pidxs),
+                                 jnp.broadcast_to(jnp.asarray(pidxs)[-1:],
+                                                  (pad,))])
     inv = jk.inverse_bwt_eof_block if eof else jk.inverse_bwt_block
 
     def per_shard(U_s, pidx_s):
@@ -149,7 +161,7 @@ def sharded_block_decode(mesh, Us, pidxs, eof=False):
         in_specs=(P('dp', None), P('dp')),
         out_specs=P('dp', None),
         check_rep=False)
-    return jax.jit(f)(Us, pidxs)
+    return jax.jit(f)(Us, pidxs)[:B]
 
 
 def sharded_bwt_eof(mesh, blocks):
@@ -170,58 +182,38 @@ def sharded_bwt_eof(mesh, blocks):
 
 def mesh_compress_bwtcp(mesh, data, level=9):
     """Data-parallel BWTC-P encode over the mesh: the per-block BWTs run
-    sharded on devices (sharded_bwt_eof) and the per-block independent
-    range coders run on host threads — BWTCP is the framework's
-    parallel-stream container (codecs/bwtcp.py), so unlike BWTC there is
-    no sequential coder to serialize on.  Byte-identical to
-    BWTCP.compress_file."""
-    from concurrent.futures import ThreadPoolExecutor
-    import os as _os
+    sharded on devices (sharded_bwt_eof) and everything else —
+    per-block independent range coders on host threads, container
+    serialization, level clamping — is the real codec
+    (BWTCP.compress_file with the _PRE_BWT hook supplying the device
+    transforms).  Byte-identical by construction."""
     from ..codecs import bwtcp as bwtcp_mod
-    from ..utils import util
-    from ..utils.stream import BufferStream
 
     data = np.asarray(data, dtype=np.uint8) \
         if isinstance(data, np.ndarray) \
         else np.frombuffer(bytes(data), dtype=np.uint8)
-    level = int(level)
-    bs = level * 100000
-    blocks = [data[i:i + bs] for i in range(0, max(len(data), 1), bs)] \
-        if len(data) else []
+    bs = bwtcp_mod._level_of(level) * 100000
 
     # device transform for the equal-length full blocks (padded to a
     # mesh multiple; pad lanes discarded)
-    full = [i for i, b in enumerate(blocks) if b.shape[0] == bs]
+    n_full = len(data) // bs
     pre = {}
-    if len(full) > 1:
-        raw = [blocks[i] for i in full]
+    if n_full > 1:
+        raw = [data[i * bs:(i + 1) * bs] for i in range(n_full)]
         n_dev = mesh.devices.size
         while len(raw) % n_dev:
             raw.append(raw[-1])
         U_all, pidx_all = sharded_bwt_eof(mesh, jnp.asarray(np.stack(raw)))
         U_all = np.asarray(U_all)
         pidx_all = np.asarray(pidx_all)
-        for k, i in enumerate(full):
-            pre[i] = (U_all[k], int(pidx_all[k]))
+        for i in range(n_full):
+            pre[i] = (U_all[i], int(pidx_all[i]))
 
-    workers = min(8, _os.cpu_count() or 2)
-    with ThreadPoolExecutor(workers) as ex:
-        payloads = list(ex.map(
-            lambda i: bwtcp_mod._encode_block(blocks[i], level,
-                                              pre.get(i)),
-            range(len(blocks))))
-
-    out = BufferStream()
-    for ch in bwtcp_mod.MAGIC:
-        out.write_byte(ord(ch))
-    util.write_unsigned_number(out, len(data) + 1)
-    out.write_byte(level)
-    util.write_unsigned_number(out, len(payloads))
-    for p in payloads:
-        util.write_unsigned_number(out, len(p))
-    for p in payloads:
-        out.write_array(p)
-    return out.get_buffer()
+    token = bwtcp_mod._PRE_BWT.set(pre)
+    try:
+        return bwtcp_mod.BWTCP.compress_file(data, None, level)
+    finally:
+        bwtcp_mod._PRE_BWT.reset(token)
 
 
 def prepare_blocks(raw_blocks):

@@ -153,6 +153,13 @@ def decompress_file_helper(magic, guts):
         file_size = read_unsigned_number(in_stream) - 1
         o = coerce_output_stream(output, file_size if file_size >= 0 else None)
         guts(in_stream, o.stream, file_size)
+        # the in-memory path validates the declared size via the fixed
+        # BufferStream; give caller-provided streams (e.g. the CLI's
+        # on-disk sink) the same corruption check when they count writes
+        written = getattr(o.stream, 'count', None)
+        if (output is not None and file_size >= 0 and written is not None
+                and written != file_size):
+            raise ValueError('output size does not match decoded input')
         return o.retval
 
     return decompress_file

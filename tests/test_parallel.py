@@ -254,8 +254,10 @@ def test_mesh_compress_bwtcp_end_to_end(ref_samples):
     from compressjs_tpu.parallel import mesh as mesh_mod
     import compressjs_tpu as cz
     mesh = mesh_mod.make_mesh(jax.devices()[:4])
-    data = ref_samples['sample2'] * 3   # 3 full blocks + tail at level 1:
-    ref = bytes(cz.BWTCP.compress_file(data, None, 1))  # pads 3 -> 4 lanes
+    # sample2*3 = 637,020 B = 6 full level-1 blocks (100,000 each) +
+    # tail; the mesh path needs >1 full block, and 6 pads to 8 lanes
+    data = ref_samples['sample2'] * 3
+    ref = bytes(cz.BWTCP.compress_file(data, None, 1))
     got = bytes(mesh_mod.mesh_compress_bwtcp(
         mesh, np.frombuffer(data, np.uint8), 1))
     assert got == ref
