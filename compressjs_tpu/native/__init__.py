@@ -49,8 +49,11 @@ def _load():
             _build_error = e
             return None
         lib.cz_suffix_sort.argtypes = [_p_u8, _p_i64, _i64]
+        lib.cz_suffix_sort_sais.argtypes = [_p_u8, _p_i64, _i64]
         lib.cz_bwt_cyclic.argtypes = [_p_u8, _p_u8, _i64]
         lib.cz_bwt_cyclic.restype = _i64
+        lib.cz_bwt_cyclic_ref.argtypes = [_p_u8, _p_u8, _i64]
+        lib.cz_bwt_cyclic_ref.restype = _i64
         lib.cz_bwt_eof.argtypes = [_p_u8, _p_u8, _i64]
         lib.cz_bwt_eof.restype = _i64
         lib.cz_mtf_encode.argtypes = [_p_u8, _i64, _p_u8, ctypes.c_int32,
@@ -173,6 +176,26 @@ def bwt_cyclic(T):
     T = np.ascontiguousarray(T, dtype=np.uint8)
     U = np.empty(T.shape[0], dtype=np.uint8)
     pidx = lib.cz_bwt_cyclic(T, U, T.shape[0])
+    return U, int(pidx)
+
+
+def suffix_sort_sais(T):
+    """Plain SA-IS path: the differential-test reference for the
+    two-stage sorter behind suffix_sort()."""
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    SA = np.empty(T.shape[0], dtype=np.int64)
+    lib.cz_suffix_sort_sais(T, SA, T.shape[0])
+    return SA
+
+
+def bwt_cyclic_ref(T):
+    """Doubled-string SA-IS construction: the differential-test
+    reference for the direct cyclic rotation sort behind bwt_cyclic()."""
+    lib = _load()
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    U = np.empty(T.shape[0], dtype=np.uint8)
+    pidx = lib.cz_bwt_cyclic_ref(T, U, T.shape[0])
     return U, int(pidx)
 
 

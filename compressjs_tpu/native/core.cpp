@@ -160,10 +160,9 @@ void sais_core(const CharT* T, IdxT* SA, IdxT n, IdxT K) {
   induce<CharT, IdxT>(T, SA, n, K, cnt.data(), stype, bkt);
 }
 
-// Suffix sort into int32 indices.  Callers must keep n (doubled for the
-// cyclic wrapper) below 2^31 - 2; the extern "C" wrappers reject larger
-// inputs and the Python layer routes them to the numpy path.
-void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
+// Plain SA-IS suffix sort (kept as the differential-test reference for
+// the two-stage sorter below, and exported as cz_suffix_sort_sais).
+void suffix_sort32_sais(const uint8_t* T, int32_t* SA, int32_t n) {
   // append a virtual sentinel by shifting the alphabet up by one
   std::vector<uint16_t> T2(n + 1);
   for (int32_t i = 0; i < n; i++) T2[i] = (uint16_t)(T[i] + 1);
@@ -172,6 +171,490 @@ void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
   sais_core<uint16_t, int32_t>(T2.data(), SA2.data(), n + 1, 257);
   // SA2[0] is the sentinel suffix; drop it
   std::memcpy(SA, SA2.data() + 1, sizeof(int32_t) * n);
+}
+
+// ---------------------------------------------------------------------------
+// Two-stage suffix/rotation sorter (the divsufsort / Itoh-Tanaka family),
+// in a linear (EOF-terminated suffixes) and a cyclic (bzip2 rotations)
+// variant.  Only the type-B* entries (a type-B position whose successor
+// is type A; at most n/2, ~n/3 on text) get a full comparison sort: a
+// 2-byte radix split into (c0,c1) buckets followed by multikey introsort
+// on the B* substrings, with remaining ties resolved by doubling on the
+// reduced name string.  Every other suffix/rotation is then *induced* in
+// two linear scans, exactly as in SA-IS.  The payoff over running SA-IS
+// on the full text: the top level works on the raw uint8 text (no uint16
+// sentinel copy), only m <= n/2 elements are sorted, the multikey sort
+// is cache-friendly where SA-IS's induced scatter passes are not — and
+// the cyclic variant sorts the n rotations DIRECTLY, where the previous
+// design suffix-sorted the doubled string (2x the work, plus every B*
+// tied with its second-half twin, the worst case for tie resolution).
+//
+// Substring comparison semantics (matching the published divsufsort
+// design): the B* substring of position P[e] extends to two characters
+// past the NEXT B* position (cyclically for the rotation sort; bound n
+// for the last linear entry); a substring that exhausts its bound first
+// compares smaller; substrings compare equal only when both exhaust
+// together (same length), which makes the name-string reduction
+// order-exact.
+
+namespace dss {
+
+struct Ctx {
+  const uint8_t* W;    // text window (linear: T; cyclic: T.T + 2 bytes)
+  const int32_t* P;    // B* positions, ascending
+  const int32_t* bnd;  // per-entry substring end (exclusive) in W
+  int32_t* base;       // start of the packed B* order array (tie marks)
+  uint8_t* tie;        // tie[r] = 1 iff entry at rank r equals rank r-1
+  inline int ch(int32_t e, int32_t d) const {
+    int32_t p = P[e] + d;
+    return p < bnd[e] ? (int)W[p] : -1;
+  }
+  // compare B* substrings e1, e2 from character `depth`
+  inline int cmp(int32_t e1, int32_t e2, int32_t depth) const {
+    int32_t p1 = P[e1] + depth, b1 = bnd[e1];
+    int32_t p2 = P[e2] + depth, b2 = bnd[e2];
+    while (p1 < b1 && p2 < b2 && W[p1] == W[p2]) { p1++; p2++; }
+    if (p1 < b1) return p2 < b2 ? (int)W[p1] - (int)W[p2] : 1;
+    return p2 < b2 ? -1 : 0;
+  }
+};
+
+void bstar_insertion_sort(const Ctx& c, int32_t* a, int32_t len,
+                          int32_t depth) {
+  for (int32_t i = 1; i < len; i++) {
+    int32_t v = a[i], j = i - 1;
+    while (j >= 0 && c.cmp(v, a[j], depth) < 0) { a[j + 1] = a[j]; j--; }
+    a[j + 1] = v;
+  }
+  // these positions are final: record full-substring ties for naming
+  for (int32_t i = 1; i < len; i++)
+    if (c.cmp(a[i - 1], a[i], depth) == 0) c.tie[(a - c.base) + i] = 1;
+}
+
+// Bentley-Sedgewick multikey quicksort on B* substrings.  Recurses on
+// the two smaller partitions and loops on the largest, so stack depth
+// is O(log len); the equal partition descends one character.
+void bstar_mkqsort(const Ctx& c, int32_t* a, int32_t len, int32_t depth) {
+  while (len > 8) {
+    int x = c.ch(a[0], depth), y = c.ch(a[len / 2], depth),
+        z = c.ch(a[len - 1], depth);
+    int pv = x < y ? (y < z ? y : (x < z ? z : x))
+                   : (x < z ? x : (y < z ? z : y));
+    // ternary partition on the character at `depth`
+    int32_t lt = 0, gt = len, p = 0;
+    while (p < gt) {
+      int cc = c.ch(a[p], depth);
+      if (cc < pv) std::swap(a[lt++], a[p++]);
+      else if (cc > pv) std::swap(a[--gt], a[p]);
+      else p++;
+    }
+    int32_t l1 = lt, l2 = gt - lt, l3 = len - gt;
+    if (pv < 0 && l2 > 1) {
+      // the equal partition exhausted its substrings together: these
+      // entries share a full substring (same content AND length) and
+      // their position range [lt, gt) is final — record the tie group
+      for (int32_t t = lt + 1; t < gt; t++) c.tie[(a - c.base) + t] = 1;
+    }
+    struct Seg { int32_t off, len, depth; } segs[3];
+    int ns = 0;
+    if (l1 > 1) segs[ns++] = {0, l1, depth};
+    if (l2 > 1 && pv >= 0) segs[ns++] = {l1, l2, depth + 1};
+    if (l3 > 1) segs[ns++] = {l1 + l2, l3, depth};
+    if (ns == 0) return;
+    int largest = 0;
+    for (int s = 1; s < ns; s++)
+      if (segs[s].len > segs[largest].len) largest = s;
+    for (int s = 0; s < ns; s++)
+      if (s != largest)
+        bstar_mkqsort(c, a + segs[s].off, segs[s].len, segs[s].depth);
+    a += segs[largest].off;
+    len = segs[largest].len;
+    depth = segs[largest].depth;
+  }
+  if (len > 1) bstar_insertion_sort(c, a, len, depth);
+}
+
+// --- Larsson-Sadakane doubling (the trsort stage) ----------------------
+// Resolves remaining B* ties by sorting the reduced name string's
+// suffixes (linear) or rotations (cyclic), touching ONLY still-tied
+// groups — after the substring sort most ranks are already unique.
+// I[0..M): reduced positions, with sorted runs stored as a negative run
+// length at the run start.  V[p]: group id = index of the group's LAST
+// element in I.
+//
+// Sort one still-tied group [lo, lo+len) by the doubling key V at p+h.
+// The keys are SNAPSHOTTED before any V write: a group's keys may point
+// into the group itself, and updating V mid-sort would mutate keys
+// between comparisons (observed inversion on periodic inputs).  With
+// the snapshot, self-referential groups split by their start-of-group
+// ranks (plain Manber-Myers freshness — resolved one pass later), while
+// groups processed earlier in the same pass still hand later groups
+// their refined ranks (the Larsson-Sadakane acceleration, which is
+// consistent because a finished group's ids are final for the pass).
+
+using LsScratch = std::vector<std::pair<int32_t, int32_t>>;
+
+template <bool CYCLIC>
+void ls_sort_group(int32_t* I, int32_t* V, int32_t M, int32_t lo,
+                   int32_t len, int32_t h, LsScratch& scratch) {
+  if (len == 1) { V[I[lo]] = lo; I[lo] = -1; return; }
+  scratch.resize(len);
+  for (int32_t i = 0; i < len; i++) {
+    int32_t p = I[lo + i] + h;
+    if (CYCLIC && p >= M) p -= M;  // h < M, so one subtraction suffices
+    scratch[i] = {V[p], I[lo + i]};
+  }
+  std::sort(scratch.begin(), scratch.end());
+  int32_t i = 0;
+  while (i < len) {
+    int32_t j = i + 1;
+    while (j < len && scratch[j].first == scratch[i].first) j++;
+    for (int32_t t = i; t < j; t++) {
+      I[lo + t] = scratch[t].second;
+      V[scratch[t].second] = lo + j - 1;
+    }
+    if (j - i == 1) I[lo + i] = -1;
+    i = j;
+  }
+}
+
+template <bool CYCLIC>
+void ls_pass(int32_t* I, int32_t* V, int32_t M, int32_t h,
+             LsScratch& scratch) {
+  int32_t i = 0, sl = 0;
+  while (i < M) {
+    int32_t s = I[i];
+    if (s < 0) {
+      i -= s;       // skip a sorted run of length -s
+      sl += s;      // and accumulate it
+    } else {
+      if (sl) { I[i + sl] = sl; sl = 0; }  // store combined run start
+      int32_t gend = V[s];
+      ls_sort_group<CYCLIC>(I, V, M, i, gend - i + 1, h, scratch);
+      i = gend + 1;
+    }
+  }
+  if (sl) I[i + sl] = sl;
+}
+
+// Linear variant: position M-1 is the unique sentinel (smallest), which
+// guarantees p+h <= M-1 for every entry of an unsorted group.
+void ls_sort(int32_t* I, int32_t* V, int32_t M) {
+  LsScratch scratch;
+  for (int32_t h = 1; I[0] != -M; h *= 2)
+    ls_pass<false>(I, V, M, h, scratch);
+}
+
+// Cyclic variant: keys wrap mod M.  Groups still unsorted once h >= M
+// consist of IDENTICAL rotations of the name string (their members
+// share a rank prefix of length >= M); they are ordered by descending
+// reduced index, which maps back to descending text position — the
+// order the reference's doubled-string sort gives identical rotations
+// (the shorter doubled-string suffix, i.e. the larger start index,
+// sorts first; reference BWT.js:372-417 keeps exactly those).
+void ls_sort_cyclic(int32_t* I, int32_t* V, int32_t M) {
+  LsScratch scratch;
+  for (int32_t h = 1; I[0] != -M && h < M; h *= 2)
+    ls_pass<true>(I, V, M, h, scratch);
+  if (I[0] == -M) return;
+  // resolve identical-rotation groups by descending reduced index
+  int32_t i = 0;
+  while (i < M) {
+    int32_t s = I[i];
+    if (s < 0) { i -= s; continue; }
+    int32_t gend = V[s];
+    std::sort(I + i, I + gend + 1, std::greater<int32_t>());
+    for (int32_t t = i; t <= gend; t++) V[I[t]] = t;
+    i = gend + 1;
+  }
+}
+
+// --- shared helpers -----------------------------------------------------
+
+struct Buckets {
+  std::vector<int32_t> cntA, cntB, cntBs;     // counts
+  std::vector<int32_t> Ahead, BsStart, Bend;  // layout offsets
+  Buckets() : cntA(256, 0), cntB(65536, 0), cntBs(65536, 0),
+              Ahead(256), BsStart(65536), Bend(65536) {}
+  void layout() {
+    int32_t off = 0;
+    for (int c0 = 0; c0 < 256; c0++) {
+      Ahead[c0] = off;
+      off += cntA[c0];
+      for (int c1 = c0; c1 < 256; c1++) {
+        int key = (c0 << 8) | c1;
+        BsStart[key] = off;
+        off += cntBs[key] + cntB[key];
+        Bend[key] = off;
+      }
+    }
+  }
+};
+
+// Sort the B* entries exactly.  On return bs[0..m) holds B* indices in
+// final (suffix/rotation) order.  `W` is the read window, `bnd` the
+// per-entry substring bounds.
+void sort_bstar(const uint8_t* W, const std::vector<int32_t>& P,
+                const std::vector<int32_t>& bnd, std::vector<int32_t>& bs,
+                bool cyclic) {
+  int32_t m = (int32_t)P.size();
+  // radix split by (c0,c1) into a packed array of indices into P
+  std::vector<int32_t> bsOff(65537, 0);
+  for (int32_t k = 0; k < m; k++)
+    bsOff[(((int)W[P[k]] << 8) | W[P[k] + 1]) + 1]++;
+  for (int key = 0; key < 65536; key++) bsOff[key + 1] += bsOff[key];
+  bs.resize(m);
+  {
+    std::vector<int32_t> cur(bsOff.begin(), bsOff.begin() + 65536);
+    for (int32_t k = 0; k < m; k++) {
+      int key = ((int)W[P[k]] << 8) | W[P[k] + 1];
+      bs[cur[key]++] = k;
+    }
+  }
+  std::vector<uint8_t> tie(m, 0);
+  Ctx c{W, P.data(), bnd.data(), bs.data(), tie.data()};
+  for (int key = 0; key < 65536; key++) {
+    int32_t len = bsOff[key + 1] - bsOff[key];
+    if (len > 1) bstar_mkqsort(c, bs.data() + bsOff[key], len, 2);
+  }
+  int32_t ties = 0;
+  for (int32_t r = 1; r < m; r++) ties += tie[r];
+  if (ties == 0) return;
+
+  if (!cyclic && ties * 4 > m) {
+    // heavy-tie case (e.g. long periodic runs): doubling would need
+    // many passes over large groups; a from-scratch SA-IS solve of the
+    // reduced name string is O(m) regardless.  Names fall out of the
+    // tie bitmap — no re-comparison needed.
+    std::vector<int32_t> R(m + 1), RS(m + 1);
+    int32_t nm = 1;
+    for (int32_t r = 0; r < m; r++) {
+      if (r > 0 && !tie[r]) nm++;
+      R[bs[r]] = nm;
+    }
+    R[m] = 0;  // sentinel
+    sais_core<int32_t, int32_t>(R.data(), RS.data(), m + 1, nm + 1);
+    for (int32_t i = 1; i <= m; i++) bs[i - 1] = RS[i];
+    return;
+  }
+
+  if (cyclic && ties == m - 1) {
+    // every entry tied: the name string is constant, all its rotations
+    // identical — descending index order directly
+    for (int32_t k = 0; k < m; k++) bs[k] = m - 1 - k;
+    return;
+  }
+
+  // Larsson-Sadakane doubling over the reduced name string.  Reduced
+  // position k = B* index k; linear gets the sentinel position m.
+  int32_t M = cyclic ? m : m + 1;
+  std::vector<int32_t> I(M), V(M);
+  int32_t b0 = cyclic ? 0 : 1;  // I-offset of rank 0
+  if (!cyclic) { V[m] = 0; I[0] = -1; }
+  int32_t r = 0;
+  while (r < m) {
+    int32_t j = r;
+    while (j + 1 < m && tie[j + 1]) j++;
+    for (int32_t t = r; t <= j; t++) V[bs[t]] = b0 + j;
+    if (j == r) I[b0 + r] = -1;
+    else for (int32_t t = r; t <= j; t++) I[b0 + t] = bs[t];
+    r = j + 1;
+  }
+  if (cyclic) ls_sort_cyclic(I.data(), V.data(), M);
+  else ls_sort(I.data(), V.data(), M);
+  // V[k] is now the final rank of B* index k
+  for (int32_t k = 0; k < m; k++) bs[V[k] - b0] = k;
+}
+
+// --- linear variant: suffix array with virtual-sentinel semantics ------
+
+void divsufsort32(const uint8_t* T, int32_t* SA, int32_t n) {
+  if (n <= 0) return;
+  if (n == 1) { SA[0] = 0; return; }
+
+  // classify suffixes (1 = type B: suffix i < suffix i+1) and count
+  std::vector<uint8_t> types(n);
+  Buckets bk;
+  types[n - 1] = 0;  // last suffix > empty suffix => type A
+  bk.cntA[T[n - 1]]++;
+  int32_t m = 0;
+  for (int32_t i = n - 2; i >= 0; i--) {
+    uint8_t t = T[i] < T[i + 1] ? 1
+              : (T[i] > T[i + 1] ? 0 : types[i + 1]);
+    types[i] = t;
+    if (t) {
+      int key = ((int)T[i] << 8) | T[i + 1];
+      if (!types[i + 1]) { bk.cntBs[key]++; m++; }
+      else bk.cntB[key]++;
+    } else {
+      bk.cntA[T[i]]++;
+    }
+  }
+  bk.layout();
+
+  if (m > 0) {
+    std::vector<int32_t> P(m), bnd(m);
+    {
+      int32_t k = 0;
+      for (int32_t i = 0; i < n - 1; i++)
+        if (types[i] && !types[i + 1]) P[k++] = i;
+      for (int32_t e = 0; e + 1 < m; e++) bnd[e] = P[e + 1] + 2;
+      bnd[m - 1] = n;
+    }
+    std::vector<int32_t> bs;
+    sort_bstar(T, P, bnd, bs, /*cyclic=*/false);
+    // drop sorted B* positions into their final SA slots (global B*
+    // order visits the (c0,c1) sub-buckets in layout order)
+    {
+      std::vector<int32_t> cur(bk.BsStart);
+      for (int32_t r = 0; r < m; r++) {
+        int32_t pos = P[bs[r]];
+        int key = ((int)T[pos] << 8) | T[pos + 1];
+        SA[cur[key]++] = pos;
+      }
+    }
+    // induce the non-B* type-B suffixes: scan each first-char bucket's
+    // B region right to left, buckets in descending order.  Every
+    // non-B* B suffix k has a type-B successor k+1 with rank(k) <
+    // rank(k+1), so its inducer is always scanned first.
+    {
+      std::vector<int32_t> cur(bk.Bend);
+      for (int c0 = 255; c0 >= 0; c0--) {
+        int32_t lo = bk.BsStart[(c0 << 8) | c0];
+        int32_t hi = bk.Bend[(c0 << 8) | 255];
+        for (int32_t i = hi - 1; i >= lo; i--) {
+          int32_t j = SA[i];
+          if (j > 0 && types[j - 1]) {
+            int key = ((int)T[j - 1] << 8) | T[j];
+            SA[--cur[key]] = j - 1;
+          }
+        }
+      }
+    }
+  }
+
+  // induce the type-A suffixes: seed with suffix n-1 (the smallest
+  // suffix of its first-char bucket), then one left-to-right scan
+  {
+    std::vector<int32_t> cur(bk.Ahead);
+    SA[cur[T[n - 1]]++] = n - 1;
+    for (int32_t i = 0; i < n; i++) {
+      int32_t j = SA[i];
+      if (j > 0 && !types[j - 1]) SA[cur[T[j - 1]]++] = j - 1;
+    }
+  }
+}
+
+// --- cyclic variant: rotation order of T (the bzip2 BWT sort) ----------
+// Output: SA[r] = start position of the r-th smallest rotation, with
+// identical rotations ordered by DESCENDING start position (matching
+// the doubled-string sort of reference BWT.js:372-417: of two identical
+// rotations, the larger start index is the shorter doubled-string
+// suffix, a prefix of the longer one, so it sorts first).
+
+void cyclic_divsufsort32(const uint8_t* T, int32_t* SA, int32_t n) {
+  if (n <= 0) return;
+  if (n == 1) { SA[0] = 0; return; }
+
+  // read window: T.T plus two bytes so the widest substring
+  // (single B*: length n+2 starting at up to n-1) stays in bounds
+  std::vector<uint8_t> W(2 * n + 2);
+  std::memcpy(W.data(), T, n);
+  std::memcpy(W.data() + n, T, n);
+  W[2 * n] = T[0];
+  W[2 * n + 1] = T[1];
+
+  // cyclic types via the doubled window: for i < n the first strict
+  // inequality lies within [i, i+n) unless T is constant
+  std::vector<uint8_t> types(n);
+  {
+    bool constant = true;
+    for (int32_t i = 1; i < n; i++)
+      if (T[i] != T[0]) { constant = false; break; }
+    if (constant) {
+      // all rotations identical: descending start position
+      for (int32_t r = 0; r < n; r++) SA[r] = n - 1 - r;
+      return;
+    }
+    uint8_t t = 0;
+    for (int32_t i = 2 * n - 2; i >= 0; i--) {
+      t = W[i] < W[i + 1] ? 1 : (W[i] > W[i + 1] ? 0 : t);
+      if (i < n) types[i] = t;
+    }
+  }
+
+  Buckets bk;
+  int32_t m = 0;
+  for (int32_t i = 0; i < n; i++) {
+    uint8_t tnext = types[i + 1 == n ? 0 : i + 1];
+    if (types[i]) {
+      int key = ((int)T[i] << 8) | W[i + 1];
+      if (!tnext) { bk.cntBs[key]++; m++; }
+      else bk.cntB[key]++;
+    } else {
+      bk.cntA[T[i]]++;
+    }
+  }
+  bk.layout();
+
+  // m >= 1: a non-constant cycle has at least one B->A transition
+  std::vector<int32_t> P(m), bnd(m);
+  {
+    int32_t k = 0;
+    for (int32_t i = 0; i < n; i++)
+      if (types[i] && !types[i + 1 == n ? 0 : i + 1]) P[k++] = i;
+    for (int32_t e = 0; e + 1 < m; e++) bnd[e] = P[e + 1] + 2;
+    bnd[m - 1] = P[0] + n + 2;  // wrap to the first B*, via the window
+  }
+  std::vector<int32_t> bs;
+  sort_bstar(W.data(), P, bnd, bs, /*cyclic=*/true);
+
+  {
+    std::vector<int32_t> cur(bk.BsStart);
+    for (int32_t r = 0; r < m; r++) {
+      int32_t pos = P[bs[r]];
+      int key = ((int)T[pos] << 8) | W[pos + 1];
+      SA[cur[key]++] = pos;
+    }
+  }
+  // induce non-B* type-B rotations (predecessors wrap: every rotation
+  // has one; rank(k) < rank(k+1) stays strict because adjacent
+  // identical rotations would make T constant, handled above)
+  {
+    std::vector<int32_t> cur(bk.Bend);
+    for (int c0 = 255; c0 >= 0; c0--) {
+      int32_t lo = bk.BsStart[(c0 << 8) | c0];
+      int32_t hi = bk.Bend[(c0 << 8) | 255];
+      for (int32_t i = hi - 1; i >= lo; i--) {
+        int32_t j = SA[i];
+        int32_t k = j == 0 ? n - 1 : j - 1;
+        if (types[k]) {
+          int key = ((int)T[k] << 8) | T[j];
+          SA[--cur[key]] = k;
+        }
+      }
+    }
+  }
+  // induce type-A rotations: no seed needed — the globally smallest
+  // rotation is always type B (strictly below its successor), so the
+  // left-to-right scan starts on placed material
+  {
+    std::vector<int32_t> cur(bk.Ahead);
+    for (int32_t i = 0; i < n; i++) {
+      int32_t j = SA[i];
+      int32_t k = j == 0 ? n - 1 : j - 1;
+      if (!types[k]) SA[cur[T[k]]++] = k;
+    }
+  }
+}
+
+}  // namespace dss
+
+// Suffix sort into int32 indices.  Callers must keep n (doubled for the
+// cyclic wrapper) below 2^31 - 2; the extern "C" wrappers reject larger
+// inputs and the Python layer routes them to the numpy path.
+void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
+  dss::divsufsort32(T, SA, n);
 }
 
 }  // namespace
@@ -188,16 +671,43 @@ void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
   for (int64_t i = 0; i < n; i++) SA[i] = SA32[i];
 }
 
-// Cyclic BWT via doubled string (ties: larger start index first).
+// Plain SA-IS path, kept as the differential-test reference for the
+// two-stage sorter that cz_suffix_sort dispatches to.
+void cz_suffix_sort_sais(const uint8_t* T, int64_t* SA, int64_t n) {
+  if (n <= 0 || n >= (int64_t)INT32_MAX - 1) return;
+  if (n == 1) { SA[0] = 0; return; }
+  std::vector<int32_t> SA32(n);
+  suffix_sort32_sais(T, SA32.data(), (int32_t)n);
+  for (int64_t i = 0; i < n; i++) SA[i] = SA32[i];
+}
+
+// Cyclic BWT (ties: larger start index first).  Sorts the n rotations
+// directly with the cyclic two-stage sorter — no doubled string.
 // Returns pidx.
 int64_t cz_bwt_cyclic(const uint8_t* T, uint8_t* U, int64_t n) {
+  if (n <= 0 || 2 * n >= (int64_t)INT32_MAX - 1) return 0;
+  if (n == 1) { U[0] = T[0]; return 0; }
+  std::vector<int32_t> SA(n);
+  dss::cyclic_divsufsort32(T, SA.data(), (int32_t)n);
+  int64_t pidx = 0;
+  for (int64_t r = 0; r < n; r++) {
+    int32_t s = SA[r];
+    if (s == 0) pidx = r;
+    U[r] = T[s == 0 ? n - 1 : s - 1];
+  }
+  return pidx;
+}
+
+// Doubled-string construction of the same transform, kept as the
+// differential-test reference for the direct rotation sort above.
+int64_t cz_bwt_cyclic_ref(const uint8_t* T, uint8_t* U, int64_t n) {
   if (n <= 0 || 2 * n >= (int64_t)INT32_MAX - 1) return 0;
   if (n == 1) { U[0] = T[0]; return 0; }
   std::vector<uint8_t> TT(2 * n);
   std::memcpy(TT.data(), T, n);
   std::memcpy(TT.data() + n, T, n);
   std::vector<int32_t> SA(2 * n);
-  suffix_sort32(TT.data(), SA.data(), (int32_t)(2 * n));
+  suffix_sort32_sais(TT.data(), SA.data(), (int32_t)(2 * n));
   int64_t j = 0, pidx = 0;
   for (int64_t i = 0; i < 2 * n; i++) {
     int64_t s = SA[i];

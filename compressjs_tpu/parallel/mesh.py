@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import jax_kernels as jk
 
@@ -51,7 +51,7 @@ def sharded_block_encode(mesh, blocks, remaps, eobs):
         per_shard, mesh=mesh,
         in_specs=(P('dp', None), P('dp', None), P('dp')),
         out_specs=(P('dp'), P('dp', None), P('dp'), P('dp', None), P(None)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(f)(blocks, remaps, eobs)
 
 
@@ -160,7 +160,7 @@ def sharded_block_decode(mesh, Us, pidxs, eof=False):
         per_shard, mesh=mesh,
         in_specs=(P('dp', None), P('dp')),
         out_specs=P('dp', None),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(f)(Us, pidxs)[:B]
 
 
@@ -176,7 +176,7 @@ def sharded_bwt_eof(mesh, blocks):
     f = shard_map(per_shard, mesh=mesh,
                   in_specs=P('dp', None),
                   out_specs=(P('dp', None), P('dp')),
-                  check_rep=False)
+                  check_vma=False)
     return jax.jit(f)(blocks)
 
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 AXIS = 'dp'
 
@@ -222,5 +222,5 @@ def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
         return order
 
     f = shard_map(program, mesh=mesh, in_specs=P(AXIS),
-                  out_specs=P(), check_rep=False)
+                  out_specs=P(), check_vma=False)
     return jax.jit(f)(block)

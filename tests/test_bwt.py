@@ -120,3 +120,58 @@ def test_cyclic_roundtrip_random():
         pidx = bwt.bwtransform2(T, U, n, 256)
         rec = bwt.inverse_bwt_cyclic(U, n, pidx)
         assert rec.tobytes() == T.tobytes(), n
+
+
+# --- two-stage sorter differential tests ---------------------------------
+# The native runtime ships two independent constructions for each sort:
+# the production two-stage (divsufsort-family) sorter and the plain
+# SA-IS build it replaced.  These must agree bit-for-bit; periodic and
+# low-alphabet inputs exercise the tie-resolution (Larsson-Sadakane
+# doubling, identical-rotation ordering) paths.
+
+def _native_or_skip():
+    from compressjs_tpu import native
+    if not native.available():
+        pytest.skip('native runtime unavailable')
+    return native
+
+
+def _adversarial_cases():
+    rng = np.random.RandomState(1234)
+    cases = [b'a', b'aa', b'ab', b'ba', b'aba', b'a' * 100, b'ab' * 50,
+             b'ba' * 50, b'abc' * 33, b'cba' * 33, b'aab' * 40,
+             b'banana' * 20, b'mississippi' * 10, b'a' * 99 + b'b',
+             b'b' + b'a' * 99, b'ab' * 49 + b'a', b'aaab' * 25,
+             b'abab' * 64, bytes(range(256)), bytes(reversed(range(256)))]
+    for n in (2, 3, 7, 15, 33, 100, 257):
+        for k in (1, 2, 3, 256):
+            cases.append(rng.randint(0, k, size=n).astype(np.uint8)
+                         .tobytes())
+    return cases
+
+
+def test_two_stage_suffix_sort_matches_sais():
+    native = _native_or_skip()
+    for t in _adversarial_cases():
+        T = np.frombuffer(t, dtype=np.uint8)
+        got = native.suffix_sort(T)
+        want = native.suffix_sort_sais(T)
+        assert (got == want).all(), t[:40]
+
+
+def test_cyclic_rotation_sort_matches_doubled_string():
+    native = _native_or_skip()
+    for t in _adversarial_cases():
+        T = np.frombuffer(t, dtype=np.uint8)
+        u1, p1 = native.bwt_cyclic(T)
+        u2, p2 = native.bwt_cyclic_ref(T)
+        assert p1 == p2 and (u1 == u2).all(), t[:40]
+
+
+def test_two_stage_sorters_on_sample_text(ref_samples):
+    native = _native_or_skip()
+    T = np.frombuffer(ref_samples['sample4'][:120000], dtype=np.uint8)
+    assert (native.suffix_sort(T) == native.suffix_sort_sais(T)).all()
+    u1, p1 = native.bwt_cyclic(T)
+    u2, p2 = native.bwt_cyclic_ref(T)
+    assert p1 == p2 and (u1 == u2).all()
