@@ -49,3 +49,7 @@ def __getattr__(name):
         globals()[name] = obj
         return obj
     raise AttributeError(name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_CODEC_MODULES))

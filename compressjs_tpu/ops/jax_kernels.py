@@ -36,11 +36,12 @@ from jax import lax
 # ---------------------------------------------------------------------------
 # suffix sort (cyclic, for bzip2)
 
-def _prefix_double(rank0, idx, n, rank2_of):
+def _prefix_double(rank0, idx, n, rank2_of, k0):
     """Shared prefix-doubling loop: refine ranks by sorting
     (rank, rank2_of(rank, k)) pairs until all ranks are distinct (early
     exit) or k reaches n.  rank2_of supplies the variant semantics
-    (cyclic wrap vs EOF padding)."""
+    (cyclic wrap vs EOF padding); k0 is the context length the seed
+    ranks already encode."""
 
     def cond(state):
         rank, k, maxrank = state
@@ -59,15 +60,16 @@ def _prefix_double(rank0, idx, n, rank2_of):
         return new_rank, k * 2, csum[-1] - 1
 
     rank, _, _ = lax.while_loop(
-        cond, body, (rank0, jnp.int32(2), jnp.max(rank0)))
+        cond, body, (rank0, jnp.int32(k0), jnp.max(rank0)))
     return rank
 
 
-def _seed_ranks(seed, idx, n):
-    """Initial rank compression from per-position seed keys."""
-    s1, order0 = lax.sort((seed, idx), num_keys=1)
+def _seed_ranks(hi, lo, idx, n):
+    """Initial rank compression from per-position (hi, lo) seed keys."""
+    s1, s2, order0 = lax.sort((hi, lo, idx), num_keys=2)
     diff0 = jnp.ones(n, dtype=jnp.int32)
-    diff0 = diff0.at[1:].set((s1[1:] != s1[:-1]).astype(jnp.int32))
+    diff0 = diff0.at[1:].set(
+        ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
     rank0 = jnp.zeros(n, dtype=jnp.int32)
     rank0 = rank0.at[order0].set(jnp.cumsum(diff0) - 1)
     return rank0
@@ -82,15 +84,20 @@ def cyclic_suffix_sort(block, n):
     Prefix doubling with data-dependent early exit: real data resolves all
     ranks after ~log2(max repeat length) rounds, far below the log2(n)
     worst case, so the doubling runs in a lax.while_loop that stops once
-    ranks are unique.  Ranks are seeded from 2-byte digrams (one round of
-    context for free)."""
-    b32 = block[:n].astype(jnp.int32)
+    ranks are unique.  Ranks are seeded from EIGHT bytes of context (two
+    packed uint32 sort keys), saving two full doubling rounds over a
+    digram seed."""
+    bu = block[:n].astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # seed: rank by (T[i], T[i+1]) packed into one int32
-    seed = (b32 << 8) | jnp.roll(b32, -1)
-    rank0 = _seed_ranks(seed, idx, n)
+
+    def at(d):
+        return jnp.roll(bu, -d)
+
+    hi = (bu << 24) | (at(1) << 16) | (at(2) << 8) | at(3)
+    lo = (at(4) << 24) | (at(5) << 16) | (at(6) << 8) | at(7)
+    rank0 = _seed_ranks(hi, lo, idx, n)
     rank = _prefix_double(rank0, idx, n,
-                          lambda rank, k: jnp.roll(rank, -k))
+                          lambda rank, k: jnp.roll(rank, -k), 8)
     # final order: (rank asc, index desc) — resolves periodic ties
     _, _, order = lax.sort((rank, -idx, idx), num_keys=2)
     return order
@@ -102,16 +109,22 @@ def eof_suffix_sort(block, n):
     smaller than every byte terminates the string, so shorter suffixes
     that are prefixes sort first (the semantics BWTC's bwtransform needs).
     Same early-exit prefix doubling as the cyclic variant, with -1 rank
-    padding past the end instead of cyclic wrap."""
+    padding past the end instead of cyclic wrap.  Ranks are seeded from
+    SIX bytes of context: three 9-bit fields per int32 key (byte+1, with
+    0 as the sentinel), saving ~1.5 doubling rounds over a digram seed."""
     b32 = block[:n].astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # seed ranks from (T[i]+1, T[i+1]+1 or sentinel 0)
-    nxt = jnp.where(idx < n - 1, jnp.roll(b32, -1) + 1, 0)
-    seed = ((b32 + 1) << 9) | nxt
-    rank0 = _seed_ranks(seed, idx, n)
+    b1 = b32 + 1  # 1..256; 0 is the virtual sentinel
+
+    def at(d):
+        return jnp.where(idx < n - d, jnp.roll(b1, -d), 0)
+
+    hi = (b1 << 18) | (at(1) << 9) | at(2)
+    lo = (at(3) << 18) | (at(4) << 9) | at(5)
+    rank0 = _seed_ranks(hi, lo, idx, n)
     rank = _prefix_double(
         rank0, idx, n,
-        lambda rank, k: jnp.where(idx < n - k, jnp.roll(rank, -k), -1))
+        lambda rank, k: jnp.where(idx < n - k, jnp.roll(rank, -k), -1), 6)
     order = jnp.argsort(rank)  # ranks are a permutation here
     return order
 

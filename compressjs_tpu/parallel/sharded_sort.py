@@ -189,16 +189,21 @@ def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
         s = block_sharded.shape[0]
         me = lax.axis_index(AXIS)
         base = me * s
-        # seed ranks from digrams (needs the neighbor's first byte)
+        # seed ranks from 8 bytes of cyclic context (cross-shard bytes
+        # come from the gather), matching the single-chip kernel: two
+        # packed uint32 keys save two doubling rounds over a digram seed
         full = lax.all_gather(block_sharded, AXIS, tiled=True)
-        b32 = full.astype(jnp.int32)
-        seed_full = (b32 << 8) | jnp.roll(b32, -1)
+        bu = full.astype(jnp.uint32)
+        hi = ((bu << 24) | (jnp.roll(bu, -1) << 16)
+              | (jnp.roll(bu, -2) << 8) | jnp.roll(bu, -3))
+        lo = ((jnp.roll(bu, -4) << 24) | (jnp.roll(bu, -5) << 16)
+              | (jnp.roll(bu, -6) << 8) | jnp.roll(bu, -7))
         # initial rank compression, replicated (cheap, one pass)
-        order0 = jnp.argsort(seed_full, stable=True)
-        sorted0 = seed_full[order0]
+        idx0 = jnp.arange(n, dtype=jnp.int32)
+        s1, s2, order0 = lax.sort((hi, lo, idx0), num_keys=2)
         diff0 = jnp.ones(n, dtype=jnp.int32)
-        diff0 = diff0.at[1:].set((sorted0[1:] != sorted0[:-1])
-                                 .astype(jnp.int32))
+        diff0 = diff0.at[1:].set(
+            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
         rank_full = jnp.zeros(n, dtype=jnp.int32)
         rank_full = rank_full.at[order0].set(jnp.cumsum(diff0) - 1)
         rank_shard = lax.dynamic_slice(rank_full, (base,), (s,))
@@ -213,7 +218,7 @@ def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
             return new_rank, k * 2, max_rank
 
         rank_shard, _, _ = lax.while_loop(
-            cond, body, (rank_shard, jnp.int32(2), jnp.max(rank_full)))
+            cond, body, (rank_shard, jnp.int32(8), jnp.max(rank_full)))
 
         # final order (rank asc, index desc), replicated result
         rank_full = lax.all_gather(rank_shard, AXIS, tiled=True)
