@@ -94,10 +94,21 @@ def compress_block_bits(block):
     """Compress one RLE1-packed block to a header+payload bit array
     (everything after the 48-bit magic and 32-bit CRC;
     reference compressBlock, Bzip2.js:735-876)."""
+    return entropy_stage_bits(block, *bwt_stage(block))
+
+
+def bwt_stage(block):
+    """The block transform half of compress_block_bits (the heavier,
+    independently schedulable stage)."""
     length = block.shape[0]
     U = np.zeros(length, dtype=np.uint8)
     pidx = bwt_ops.bwtransform2(block, U, length, 256)
+    return U, pidx
 
+
+def entropy_stage_bits(block, U, pidx):
+    """The MTF/RLE2/Huffman half of compress_block_bits."""
+    length = block.shape[0]
     header = BitArrayWriter()
     header.write_bit(0)                 # not randomized
     header.write_bits(24, pidx)
@@ -200,19 +211,54 @@ def compress_file(input_data, output=None, props=None):
     # RLE1 boundaries are the only serial dependency between blocks
     # (each block's start is the previous block's consumed end), so the
     # independent blocks are compressed on a thread pool — the native
-    # SA-IS/entropy calls release the GIL, so this scales with host
-    # cores even from Python.  In-flight work is bounded (a few blocks
-    # plus their bit arrays), keeping peak memory O(workers * block)
-    # instead of buffering the whole file's results.
+    # sort/entropy calls release the GIL, so this scales with host
+    # cores even from Python.  When only a few blocks exist, each block
+    # becomes TWO chained tasks (BWT, then entropy): a core that
+    # finished its rotation sort steals another block's entropy stage
+    # instead of idling (sample5 -9 is 3 blocks on 2 cores, +15%).
+    # With many blocks, whole-block tasks pack the cores on their own
+    # and keep each block's arrays on one core's cache, so the split is
+    # skipped.  In-flight work is bounded, keeping peak memory
+    # O(workers * block) instead of buffering the whole file's results.
     import os as _os
     from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import Future, ThreadPoolExecutor
 
     workers = max(1, min(8, _os.cpu_count() or 1))
+    est_blocks = -(-data.shape[0] // block_size)
+    split_stages = est_blocks <= 3 * workers
 
-    def job(block, start, consumed):
-        return (crc32_bzip2(data[start:start + consumed]),
-                compress_block_bits(block))
+    def bwt_job(block, start, consumed):
+        crc = crc32_bzip2(data[start:start + consumed])
+        U, pidx = bwt_stage(block)
+        return crc, block, U, pidx
+
+    def ent_job(crc, block, U, pidx):
+        return crc, entropy_stage_bits(block, U, pidx)
+
+    def chain_ent(ex, bwt_fut):
+        """Future for ent_job(*bwt_fut.result()), submitted only once
+        the BWT task finishes (never parks a worker on a wait)."""
+        outf = Future()
+
+        def on_bwt(f):
+            exc = f.exception()
+            if exc is not None:
+                outf.set_exception(exc)
+                return
+            nxt = ex.submit(ent_job, *f.result())
+
+            def on_ent(g):
+                exc2 = g.exception()
+                if exc2 is not None:
+                    outf.set_exception(exc2)
+                else:
+                    outf.set_result(g.result())
+
+            nxt.add_done_callback(on_ent)
+
+        bwt_fut.add_done_callback(on_bwt)
+        return outf
 
     stream_crc = 0
     with ThreadPoolExecutor(workers) as ex:
@@ -236,8 +282,14 @@ def compress_file(input_data, output=None, props=None):
             start += consumed
             done = consumed == 0 or start >= data.shape[0]
             if block.shape[0] > 0:
-                inflight.append(ex.submit(job, block, start - consumed,
-                                          consumed))
+                if split_stages:
+                    bwt_fut = ex.submit(bwt_job, block, start - consumed,
+                                        consumed)
+                    inflight.append(chain_ent(ex, bwt_fut))
+                else:
+                    inflight.append(ex.submit(
+                        lambda b, s, c: ent_job(*bwt_job(b, s, c)),
+                        block, start - consumed, consumed))
             while len(inflight) > workers + 1:
                 drain(inflight.popleft())
         while inflight:
