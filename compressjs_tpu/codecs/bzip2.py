@@ -18,6 +18,8 @@ compressjs_tpu.parallel.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..ops import bwt as bwt_ops
@@ -602,8 +604,27 @@ def _start(r):
     return 100000 * level
 
 
-def decompress_file(input_data, output=None, multistream=False):
+def decompress_file(input_data, output=None, multistream=False,
+                    _sequential=False):
     data = _slurp(input_data)
+    # small multi-block single-stream inputs decode block-parallel: the
+    # magic scan yields the block manifest, blocks decode concurrently
+    # on a thread pool (the native walk releases the GIL), and per-block
+    # + trailing stream CRCs validate the assembly (any anomaly —
+    # including multistream inputs — falls back here with
+    # _sequential=True, so this dispatch cannot recurse).  Bounded above
+    # because with many blocks the sequential loop already saturates the
+    # memory-latency-bound LF walk and threads only add GIL churn
+    # (measured 2x SLOWER at 100MB); sample5-sized inputs gain ~45%.
+    # decompress_file_parallel remains the explicit API for fork-pool
+    # decode of large inputs.
+    if (not _sequential and not multistream
+            and 65536 < data.shape[0] <= (4 << 20)
+            and (os.cpu_count() or 1) > 1
+            and os.environ.get('COMPRESSJS_TPU_NO_PARALLEL', '') == ''):
+        from ..parallel import decode as _pdecode
+        return _pdecode.decompress_file_parallel(data, output,
+                                                 executor='thread')
     r = _BitReader(data)
     o = coerce_output_stream(output)
     dbuf_size = _start(r)

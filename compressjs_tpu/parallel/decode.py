@@ -89,7 +89,7 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
     first_block_pos = r.tell_bit()
     candidates = [int(p) for p in block_index(data) if p >= first_block_pos]
     if not candidates or candidates[0] != first_block_pos:
-        return bz.decompress_file(data, output)
+        return bz.decompress_file(data, output, _sequential=True)
 
     n_workers = n_workers or min(8, (os.cpu_count() or 2))
     if executor == 'process' and len(candidates) > 2 and n_workers > 1:
@@ -126,7 +126,7 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
         pieces.append(out)
         stream_crc = stream_crc_combine(stream_crc, crc)
     if not pieces:
-        return bz.decompress_file(data, output)
+        return bz.decompress_file(data, output, _sequential=True)
     # validate the assembly against the trailing stream CRC
     valid = False
     for p in _scan_magic(data, _END_BITS):
@@ -136,7 +136,7 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
             valid = True
             break
     if not valid:
-        return bz.decompress_file(data, output)
+        return bz.decompress_file(data, output, _sequential=True)
     o = coerce_output_stream(output)
     for piece in pieces:
         if hasattr(o.stream, 'write_array'):
