@@ -97,66 +97,101 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     len_model = LogDistanceModel(block_size, 0,
                                  bit_model_factory, bit_model_factory)
     block = np.zeros(block_size, dtype=np.uint8)
-    U = np.zeros(block_size, dtype=np.uint8)
-    A = np.zeros(block_size, dtype=np.int32)
 
-    while True:
-        # read a block
-        length = in_stream.read(block, 0, block_size)
-        if length == 0:
-            break
-        if length == block_size:
-            encoder.encode_freq(1, 0, 3)  # full-size block
-        else:
-            encoder.encode_freq(1, 1, 3)  # short block
-            len_model.encode(length)
-        b = block[:length]
-        bwt_fn = _BWT_HOOK.get() or bwt_ops.bwtransform
-        pidx = bwt_fn(b, U, A, length, 256)
-        len_model.encode(pidx)
+    # The range coder's state spans blocks (BWTC.js:13-14), so the coder
+    # loop is strictly sequential — but each block's transform (BWT +
+    # MTF) is independent.  Blocks are read ahead and transformed on a
+    # small thread pool while the coder drains them in order: encode
+    # wall time per block becomes ~max(transform, coder) instead of
+    # their sum.  The BWT hook is resolved HERE (it is a ContextVar,
+    # invisible to pool threads) and captured by the job.
+    import os as _os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
+    bwt_fn = _BWT_HOOK.get() or bwt_ops.bwtransform
+
+    def transform_job(b):
+        n = b.shape[0]
+        U = np.zeros(n, dtype=np.uint8)
+        A = np.zeros(n, dtype=np.int32)
+        pidx = bwt_fn(b, U, A, n, 256)
         used = np.zeros(256, dtype=np.int64)
-        used[U[:length]] = 1
-        _encode_usage_tree(encoder, used)
-
+        used[U] = 1
         alphabet = np.nonzero(used)[0].astype(np.uint8)
-        alphabet_size = len(alphabet)
-        mtf_seq = mtf_ops.mtf_encode(U[:length], alphabet)
+        mtf_seq = mtf_ops.mtf_encode(U, alphabet)
+        return pidx, used, alphabet, mtf_seq
 
-        if _native is not None and _native.available() and \
-                hasattr(out_stream, 'write_array'):
-            # native fused RLE2+model loop sharing the coder state
-            st = encoder.export_enc_state()
-            payload = _native.bwtc_encode_block(mtf_seq, alphabet_size,
-                                                fast, st)
-            out_stream.write_array(payload)
-            encoder.import_enc_state(st)
-        else:
-            if fast:
-                model = DefSumModel(encoder, alphabet_size + 1)
-            else:
-                model = FenwickModel(encoder, alphabet_size + 1,
-                                     F_PROB_MAX, F_PROB_INCR)
-            # RLE2: zero runs as RUNA/RUNB digits, literals as c+1 (no EOB)
-            encode = model.encode
-            run_length = 0
-            for c in mtf_seq.tolist():
-                if c == 0:
-                    run_length += 1
-                else:
-                    if run_length:
-                        for d in rle_ops.runab_encode_lengths(run_length):
-                            encode(d)
-                        run_length = 0
-                    encode(c + 1)
-            if run_length:
-                for d in rle_ops.runab_encode_lengths(run_length):
-                    encode(d)
-        if length != block_size:
-            break
+    workers = max(1, min(4, _os.cpu_count() or 1))
+    ex = ThreadPoolExecutor(workers)
+    pending = deque()
+    eof = False
+    try:
+        while True:
+            while not eof and len(pending) <= workers:
+                length = in_stream.read(block, 0, block_size)
+                if length == 0:
+                    eof = True
+                    break
+                pending.append((length, ex.submit(transform_job,
+                                                  block[:length].copy())))
+                if length != block_size:
+                    eof = True  # a short block is always the last one
+            if not pending:
+                break
+            length, fut = pending.popleft()
+            pidx, used, alphabet, mtf_seq = fut.result()
+            _encode_block(encoder, len_model, out_stream, fast, block_size,
+                          length, pidx, used, alphabet, mtf_seq)
+    finally:
+        ex.shutdown(wait=True)
 
     encoder.encode_freq(1, 2, 3)  # no more blocks
     encoder.encode_finish()
+
+
+def _encode_block(encoder, len_model, out_stream, fast, block_size,
+                  length, pidx, used, alphabet, mtf_seq):
+    """Sequential coder half of one BWTC block (op order is the format:
+    indicator, [short length], pidx, usage tree, payload)."""
+    if length == block_size:
+        encoder.encode_freq(1, 0, 3)  # full-size block
+    else:
+        encoder.encode_freq(1, 1, 3)  # short block
+        len_model.encode(length)
+    len_model.encode(pidx)
+    _encode_usage_tree(encoder, used)
+    alphabet_size = len(alphabet)
+
+    if _native is not None and _native.available() and \
+            hasattr(out_stream, 'write_array'):
+        # native fused RLE2+model loop sharing the coder state
+        st = encoder.export_enc_state()
+        payload = _native.bwtc_encode_block(mtf_seq, alphabet_size,
+                                            fast, st)
+        out_stream.write_array(payload)
+        encoder.import_enc_state(st)
+    else:
+        if fast:
+            model = DefSumModel(encoder, alphabet_size + 1)
+        else:
+            model = FenwickModel(encoder, alphabet_size + 1,
+                                 F_PROB_MAX, F_PROB_INCR)
+        # RLE2: zero runs as RUNA/RUNB digits, literals as c+1 (no EOB)
+        encode = model.encode
+        run_length = 0
+        for c in mtf_seq.tolist():
+            if c == 0:
+                run_length += 1
+            else:
+                if run_length:
+                    for d in rle_ops.runab_encode_lengths(run_length):
+                        encode(d)
+                    run_length = 0
+                encode(c + 1)
+        if run_length:
+            for d in rle_ops.runab_encode_lengths(run_length):
+                encode(d)
 
 
 def _decompress_guts(in_stream, out_stream, file_size):
