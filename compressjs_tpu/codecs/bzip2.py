@@ -222,11 +222,10 @@ def compress_file(input_data, output=None, props=None):
     # and keep each block's arrays on one core's cache, so the split is
     # skipped.  In-flight work is bounded, keeping peak memory
     # O(workers * block) instead of buffering the whole file's results.
-    import os as _os
     from collections import deque
     from concurrent.futures import Future, ThreadPoolExecutor
 
-    workers = max(1, min(8, _os.cpu_count() or 1))
+    workers = max(1, min(8, os.cpu_count() or 1))
     est_blocks = -(-data.shape[0] // block_size)
     split_stages = est_blocks <= 3 * workers
 
@@ -248,7 +247,11 @@ def compress_file(input_data, output=None, props=None):
             if exc is not None:
                 outf.set_exception(exc)
                 return
-            nxt = ex.submit(ent_job, *f.result())
+            try:
+                nxt = ex.submit(ent_job, *f.result())
+            except RuntimeError as e:  # pool shut down by an earlier failure
+                outf.set_exception(e)
+                return
 
             def on_ent(g):
                 exc2 = g.exception()
@@ -619,8 +622,10 @@ def decompress_file(input_data, output=None, multistream=False,
     # decompress_file_parallel remains the explicit API for fork-pool
     # decode of large inputs.
     if (not _sequential and not multistream
+            and output is None  # streaming outputs keep block-by-block writes
             and 65536 < data.shape[0] <= (4 << 20)
             and (os.cpu_count() or 1) > 1
+            and _native is not None and _native.available()
             and os.environ.get('COMPRESSJS_TPU_NO_PARALLEL', '') == ''):
         from ..parallel import decode as _pdecode
         return _pdecode.decompress_file_parallel(data, output,
