@@ -610,20 +610,18 @@ def _start(r):
 def decompress_file(input_data, output=None, multistream=False,
                     _sequential=False):
     data = _slurp(input_data)
-    # small multi-block single-stream inputs decode block-parallel: the
-    # magic scan yields the block manifest, blocks decode concurrently
-    # on a thread pool (the native walk releases the GIL), and per-block
-    # + trailing stream CRCs validate the assembly (any anomaly —
+    # multi-block single-stream inputs decode block-parallel: the magic
+    # scan yields the block manifest, blocks decode concurrently on a
+    # thread pool (the native walk releases the GIL), and per-block +
+    # trailing stream CRCs validate the assembly (any anomaly —
     # including multistream inputs — falls back here with
-    # _sequential=True, so this dispatch cannot recurse).  Bounded above
-    # because with many blocks the sequential loop already saturates the
-    # memory-latency-bound LF walk and threads only add GIL churn
-    # (measured 2x SLOWER at 100MB); sample5-sized inputs gain ~45%.
-    # decompress_file_parallel remains the explicit API for fork-pool
-    # decode of large inputs.
+    # _sequential=True, so this dispatch cannot recurse).  Requires an
+    # in-memory result (output=None): the parallel path buffers every
+    # block until the stream CRC validates, while streaming outputs
+    # keep the sequential decoder's block-by-block writes.
     if (not _sequential and not multistream
-            and output is None  # streaming outputs keep block-by-block writes
-            and 65536 < data.shape[0] <= (4 << 20)
+            and output is None
+            and data.shape[0] > 65536
             and (os.cpu_count() or 1) > 1
             and _native is not None and _native.available()
             and os.environ.get('COMPRESSJS_TPU_NO_PARALLEL', '') == ''):
