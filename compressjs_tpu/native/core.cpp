@@ -971,6 +971,26 @@ int64_t cz_payload_pack(const uint16_t* syms, int64_t count,
 // Inverse cyclic BWT: fill out[0..n) from BWT column U and pidx.
 void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
                     uint8_t* out) {
+  if (n < (int64_t)1 << 24) {
+    // pack (LF target << 8 | byte) into one uint32 so the walk makes a
+    // single random access per step over a half-size table (blocks are
+    // <= 900059 bytes, so LF always fits 24 bits)
+    std::vector<uint32_t> lf(n);
+    uint32_t cnt[256] = {0};
+    for (int64_t i = 0; i < n; i++)
+      lf[i] = (cnt[U[i]]++ << 8) | U[i];
+    uint32_t starts[256];
+    uint32_t sum = 0;
+    for (int c = 0; c < 256; c++) { starts[c] = sum; sum += cnt[c]; }
+    for (int64_t i = 0; i < n; i++) lf[i] += starts[U[i]] << 8;
+    uint32_t t = (uint32_t)pidx;
+    for (int64_t i = n - 1; i >= 0; i--) {
+      uint32_t v = lf[t];
+      out[i] = (uint8_t)v;
+      t = v >> 8;
+    }
+    return;
+  }
   std::vector<int64_t> lf(n);
   int64_t cnt[256] = {0};
   for (int64_t i = 0; i < n; i++) lf[i] = cnt[U[i]]++;
@@ -990,6 +1010,25 @@ void cz_inverse_bwt(const uint8_t* U, int64_t n, int64_t pidx,
 // forward transform.
 void cz_inverse_bwt_eof(const uint8_t* T, uint8_t* U, int64_t n,
                         int64_t pidx) {
+  if (n < (int64_t)1 << 24) {
+    // packed (LF target << 8 | byte): one random access per walk step
+    std::vector<uint32_t> lf(n);
+    uint32_t cnt[256] = {0};
+    for (int64_t i = 0; i < n; i++)
+      lf[i] = (cnt[T[i]]++ << 8) | T[i];
+    uint32_t starts[256];
+    uint32_t sum = 0;
+    for (int c = 0; c < 256; c++) { starts[c] = sum; sum += cnt[c]; }
+    for (int64_t i = 0; i < n; i++) lf[i] += starts[T[i]] << 8;
+    uint32_t t = 0;
+    for (int64_t i = n - 1; i >= 0; i--) {
+      uint32_t v = lf[t];
+      U[i] = (uint8_t)v;
+      t = v >> 8;
+      if (t < (uint32_t)pidx) t++;
+    }
+    return;
+  }
   std::vector<int64_t> lf(n);
   int64_t cnt[256] = {0};
   for (int64_t i = 0; i < n; i++) lf[i] = cnt[T[i]]++;
