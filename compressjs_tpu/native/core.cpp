@@ -814,6 +814,40 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
   const int32_t* gperm = nullptr;
   int gmin = 0, gmax = 0;
 
+  // per-group decode LUT over the first LUT_BITS code bits:
+  // entry = (symbol << 5) | code length, 0xFFFF = longer code (walk).
+  // Typical bzip2 codes are <= 11 bits, so ~99% of symbols decode with
+  // one peek+lookup instead of a bit-by-bit limit walk.
+  constexpr int LUT_BITS = 11;
+  static_assert(LUT_BITS <= 15, "length field needs 5 bits");
+  uint16_t lut[6][1 << LUT_BITS];
+  int lut_bits[6];
+  bool lut_ok[6] = {false, false, false, false, false, false};
+  auto build_lut = [&](int g) {
+    const int64_t* lim = limit + g * 25;
+    const int64_t* bas = base + g * 22;
+    const int32_t* perm = permute + g * 258;
+    int L = std::min(LUT_BITS, maxlen[g]);
+    lut_bits[g] = L;
+    uint16_t* t = lut[g];
+    std::fill(t, t + (1 << LUT_BITS), (uint16_t)0xFFFF);
+    int64_t lo = 0;  // first code value of the current length
+    for (int l = minlen[g]; l <= maxlen[g] && l <= L; l++) {
+      for (int64_t j = lo; j <= lim[l]; j++) {
+        int64_t idx = j - bas[l];
+        if (idx < 0 || idx >= 258) continue;  // corrupt table: walk path
+        uint16_t v = (uint16_t)((perm[idx] << 5) | l);
+        int shift = L - l;
+        for (int64_t e = j << shift; e < ((j + 1) << shift); e++)
+          t[e] = v;
+      }
+      lo = (lim[l] + 1) << 1;
+    }
+    lut_ok[g] = true;
+  };
+  const uint16_t* glut = nullptr;
+  int gL = 0;
+
   for (;;) {
     if (!sym_budget) {
       sym_budget = 50;
@@ -824,18 +858,38 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
       gperm = permute + g * 258;
       gmin = minlen[g];
       gmax = maxlen[g];
+      if (g < 6) {
+        if (!lut_ok[g]) build_lut(g);
+        glut = lut[g];
+        gL = lut_bits[g];
+      } else {
+        glut = nullptr;  // defensive: >6 groups is invalid bzip2
+      }
     }
     sym_budget--;
-    int i = gmin;
-    int64_t j = read_bits(i);
-    while (j > glimit[i]) {
-      i++;
-      if (i > gmax) return -1;
-      j = (j << 1) | read_bits(1);
+    int32_t next_sym;
+    uint16_t v = 0xFFFF;
+    if (glut) {
+      refill(gL);
+      uint32_t peek =
+          (uint32_t)((cache >> (cached - gL)) & ((1u << gL) - 1));
+      v = glut[peek];
     }
-    j -= gbase[i];
-    if (j < 0 || j >= 258) return -1;
-    int32_t next_sym = gperm[j];
+    if (v != 0xFFFF) {
+      cached -= (int)(v & 31);
+      next_sym = v >> 5;
+    } else {
+      int i = gmin;
+      int64_t j = read_bits(i);
+      while (j > glimit[i]) {
+        i++;
+        if (i > gmax) return -1;
+        j = (j << 1) | read_bits(1);
+      }
+      j -= gbase[i];
+      if (j < 0 || j >= 258) return -1;
+      next_sym = gperm[j];
+    }
     if (next_sym <= 1) {  // RUNA / RUNB
       if (!run_pos) { run_pos = 1; t_acc = 0; }
       t_acc += (next_sym == 0) ? run_pos : 2 * run_pos;
