@@ -50,6 +50,10 @@ def _load():
             return None
         lib.cz_suffix_sort.argtypes = [_p_u8, _p_i64, _i64]
         lib.cz_suffix_sort_sais.argtypes = [_p_u8, _p_i64, _i64]
+        lib.cz_huff_code_lengths.argtypes = [_p_i64, ctypes.c_int32,
+                                             ctypes.c_int32, _p_u8]
+        lib.cz_selector_mtf.argtypes = [_p_u8, _i64, ctypes.c_int32, _p_u8]
+        lib.cz_selector_mtf.restype = _i64
         lib.cz_bwt_cyclic.argtypes = [_p_u8, _p_u8, _i64]
         lib.cz_bwt_cyclic.restype = _i64
         lib.cz_bwt_cyclic_ref.argtypes = [_p_u8, _p_u8, _i64]
@@ -177,6 +181,29 @@ def bwt_cyclic(T):
     U = np.empty(T.shape[0], dtype=np.uint8)
     pidx = lib.cz_bwt_cyclic(T, U, T.shape[0])
     return U, int(pidx)
+
+
+def huff_code_lengths(freq, maxlen):
+    """Length-limited canonical Huffman code lengths (native build of
+    coders/huffman_allocator.py + the (freq<<9|sym) sort-invert)."""
+    lib = _load()
+    freq = np.ascontiguousarray(freq, dtype=np.int64)
+    n = freq.shape[0]
+    lengths = np.zeros(n, dtype=np.uint8)
+    lib.cz_huff_code_lengths(freq, np.int32(n), np.int32(maxlen), lengths)
+    return lengths
+
+
+def selector_mtf(selectors, n_groups):
+    """Selectors MTF'd + unary-coded to a 0/1 bit array."""
+    lib = _load()
+    selectors = np.ascontiguousarray(selectors, dtype=np.uint8)
+    out = np.empty(selectors.shape[0] * max(1, n_groups), dtype=np.uint8)
+    count = lib.cz_selector_mtf(selectors, selectors.shape[0],
+                                np.int32(n_groups), out)
+    if count < 0:
+        raise ValueError('invalid selector value')
+    return out[:count]
 
 
 def suffix_sort_sais(T):

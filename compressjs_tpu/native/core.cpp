@@ -657,6 +657,131 @@ void suffix_sort32(const uint8_t* T, int32_t* SA, int32_t n) {
   dss::divsufsort32(T, SA, n);
 }
 
+// ---------------------------------------------------------------------------
+// Static length-limited canonical Huffman code-length allocation: the
+// in-place Milidiu/Pessoa/Laber algorithm, a direct native build of
+// coders/huffman_allocator.py (itself matching reference
+// HuffmanAllocator.js:52-222).  Called ~44x per bzip2 block by the
+// group-optimization loop, which made the Python version ~25% of the
+// entropy stage.
+
+namespace huffalloc {
+
+int32_t first_node(const int64_t* a, int32_t len, int32_t i, int32_t ntm) {
+  int32_t limit = i, k = len - 2;
+  while (i >= ntm && (a[i] % len) > limit) {
+    k = i;
+    i -= (limit - i + 1);
+  }
+  i = std::max(ntm - 1, i);
+  while (k > i + 1) {
+    int32_t mid = (i + k) >> 1;
+    if ((a[mid] % len) > limit) k = mid;
+    else i = mid;
+  }
+  return k;
+}
+
+void set_extended_parent_pointers(int64_t* a, int32_t len) {
+  a[0] += a[1];
+  int32_t head = 0, top = 2;
+  for (int32_t tail = 1; tail < len - 1; tail++) {
+    int64_t total;
+    if (top >= len || a[head] < a[top]) {
+      total = a[head];
+      a[head] = tail;
+      head++;
+    } else {
+      total = a[top];
+      top++;
+    }
+    if (top >= len || (head < tail && a[head] < a[top])) {
+      total += a[head];
+      a[head] = tail + len;
+      head++;
+    } else {
+      total += a[top];
+      top++;
+    }
+    a[tail] = total;
+  }
+}
+
+int32_t find_nodes_to_relocate(const int64_t* a, int32_t len,
+                               int32_t maximum_length) {
+  int32_t node = len - 2;
+  int32_t depth = 1;
+  while (depth < maximum_length - 1 && node > 1) {
+    node = first_node(a, len, node - 1, 0);
+    depth++;
+  }
+  return node;
+}
+
+void allocate_node_lengths(int64_t* a, int32_t len) {
+  int32_t fst = len - 2, nxt = len - 1;
+  int32_t depth = 1, available = 2;
+  while (available > 0) {
+    int32_t last = fst;
+    fst = first_node(a, len, last - 1, 0);
+    for (int32_t i = 0; i < available - (last - fst); i++) {
+      if (nxt < 0) return;  // defensive; see the relocation variant
+      a[nxt--] = depth;
+    }
+    available = (last - fst) << 1;
+    depth++;
+  }
+}
+
+void allocate_node_lengths_with_relocation(int64_t* a, int32_t len,
+                                           int32_t ntm,
+                                           int32_t insert_depth) {
+  int32_t fst = len - 2, nxt = len - 1;
+  int32_t depth = insert_depth == 1 ? 2 : 1;
+  int32_t left_to_move = insert_depth == 1 ? ntm - 2 : ntm;
+  int32_t available = depth << 1;
+  while (available > 0) {
+    int32_t last = fst;
+    if (fst > ntm) fst = first_node(a, len, last - 1, ntm);
+    int32_t offset = 0;
+    if (depth >= insert_depth) {
+      offset = std::min(left_to_move,
+                        (int32_t)1 << (depth - std::max(insert_depth, 1)));
+    } else if (depth == insert_depth - 1) {
+      offset = 1;
+      if (a[fst] == last) fst++;
+    }
+    for (int32_t i = 0; i < available - (last - fst + offset); i++) {
+      if (nxt < 0) return;  // infeasible (maxlen, n) combination: the
+                            // codecs never produce one (bzip2: maxlen
+                            // 20, <= 258 symbols); stay memory-safe
+      a[nxt--] = depth;
+    }
+    left_to_move -= offset;
+    available = (last - fst + offset) << 1;
+    depth++;
+  }
+}
+
+void allocate(int64_t* a, int32_t n, int32_t maximum_length) {
+  if (n <= 2) {
+    if (n == 2) a[1] = 1;
+    if (n >= 1) a[0] = 1;
+    return;
+  }
+  set_extended_parent_pointers(a, n);
+  int32_t ntm = find_nodes_to_relocate(a, n, maximum_length);
+  if ((a[0] % n) >= ntm) {
+    allocate_node_lengths(a, n);
+  } else {
+    int32_t bl = 0;
+    for (int32_t v = ntm - 1; v > 0; v >>= 1) bl++;
+    allocate_node_lengths_with_relocation(a, n, ntm, maximum_length - bl);
+  }
+}
+
+}  // namespace huffalloc
+
 }  // namespace
 
 extern "C" {
@@ -669,6 +794,43 @@ void cz_suffix_sort(const uint8_t* T, int64_t* SA, int64_t n) {
   std::vector<int32_t> SA32(n);
   suffix_sort32(T, SA32.data(), (int32_t)n);
   for (int64_t i = 0; i < n; i++) SA[i] = SA32[i];
+}
+
+// Length-limited canonical Huffman code lengths for `freq[0..n)`
+// (reference StaticHuffman ctor, Bzip2.js:551-579): sort (freq<<9|sym),
+// allocate in place, scatter lengths back by symbol.
+void cz_huff_code_lengths(const int64_t* freq, int32_t n, int32_t maxlen,
+                          uint8_t* lengths) {
+  std::vector<int64_t> merged(n);
+  for (int32_t i = 0; i < n; i++)
+    merged[i] = (freq[i] << 9) | i;
+  std::sort(merged.begin(), merged.end());
+  std::vector<int64_t> arr(n);
+  for (int32_t i = 0; i < n; i++) arr[i] = merged[i] >> 9;
+  huffalloc::allocate(arr.data(), n, maxlen);
+  for (int32_t i = 0; i < n; i++)
+    lengths[merged[i] & 0x1FF] = (uint8_t)arr[i];
+}
+
+// Selectors MTF'd then unary-coded as 0/1 bytes (reference
+// Bzip2.js:849-862).  `out` needs nsel * n_groups bytes; returns the
+// bit count.
+int64_t cz_selector_mtf(const uint8_t* sel, int64_t nsel, int32_t n_groups,
+                        uint8_t* out) {
+  uint8_t lst[8];
+  for (int32_t i = 0; i < n_groups; i++) lst[i] = (uint8_t)i;
+  int64_t o = 0;
+  for (int64_t s = 0; s < nsel; s++) {
+    uint8_t v = sel[s];
+    int32_t j = 0;
+    while (j < n_groups && lst[j] != v) j++;
+    if (j >= n_groups) return -1;  // invalid selector
+    for (int32_t t = j; t > 0; t--) lst[t] = lst[t - 1];
+    lst[0] = v;
+    for (int32_t t = 0; t < j; t++) out[o++] = 1;
+    out[o++] = 0;
+  }
+  return o;
 }
 
 // Plain SA-IS path, kept as the differential-test reference for the

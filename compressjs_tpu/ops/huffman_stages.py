@@ -34,8 +34,12 @@ MAX_GROUPS = 6
 def code_lengths_from_freqs(freq, alphabet_size):
     """Length-limited canonical Huffman code lengths for `freq`
     (reference StaticHuffman ctor, Bzip2.js:551-579): sort (freq<<9|sym),
-    allocate in place, invert the sort."""
+    allocate in place, invert the sort.  Called ~44x per block by the
+    group-optimization loop, so the allocator runs native when
+    available."""
     freq = np.asarray(freq, dtype=np.int64)[:alphabet_size]
+    if _nat():
+        return _native.huff_code_lengths(freq, MAX_HUFCODE_BITS)
     merged = (freq << 9) | np.arange(alphabet_size, dtype=np.int64)
     merged_sorted = np.sort(merged)
     arr = (merged_sorted >> 9).tolist()
@@ -219,6 +223,8 @@ def payload_bytes(syms, selectors, length_matrix, code_matrix):
 
 def selector_mtf_bits(selectors, n_groups):
     """Selectors MTF'd then unary-coded (reference Bzip2.js:849-862)."""
+    if _nat():
+        return _native.selector_mtf(selectors, n_groups)
     lst = list(range(n_groups))
     bits = []
     for s in selectors:
