@@ -209,6 +209,15 @@ struct Ctx {
     int32_t p = P[e] + d;
     return p < bnd[e] ? (int)W[p] : -1;
   }
+  // two characters at once: ((W[d]+1) << 9 | (W[d+1]+1)), with 0 for an
+  // exhausted second char and -1 for a fully exhausted substring —
+  // ordering identical to two successive ch() comparisons
+  inline int ch2(int32_t e, int32_t d) const {
+    int32_t p = P[e] + d, b = bnd[e];
+    if (p >= b) return -1;
+    int hi = ((int)W[p] + 1) << 9;
+    return p + 1 < b ? hi | ((int)W[p + 1] + 1) : hi;
+  }
   // compare B* substrings e1, e2 from character `depth`
   inline int cmp(int32_t e1, int32_t e2, int32_t depth) const {
     int32_t p1 = P[e1] + depth, b1 = bnd[e1];
@@ -231,34 +240,36 @@ void bstar_insertion_sort(const Ctx& c, int32_t* a, int32_t len,
     if (c.cmp(a[i - 1], a[i], depth) == 0) c.tie[(a - c.base) + i] = 1;
 }
 
-// Bentley-Sedgewick multikey quicksort on B* substrings.  Recurses on
-// the two smaller partitions and loops on the largest, so stack depth
-// is O(log len); the equal partition descends one character.
+// Bentley-Sedgewick multikey quicksort on B* substrings, two characters
+// per level (ch2 keys), halving the partition passes over a per-char
+// descent.  Recurses on the two smaller partitions and loops on the
+// largest, so stack depth is O(log len).
 void bstar_mkqsort(const Ctx& c, int32_t* a, int32_t len, int32_t depth) {
   while (len > 8) {
-    int x = c.ch(a[0], depth), y = c.ch(a[len / 2], depth),
-        z = c.ch(a[len - 1], depth);
+    int x = c.ch2(a[0], depth), y = c.ch2(a[len / 2], depth),
+        z = c.ch2(a[len - 1], depth);
     int pv = x < y ? (y < z ? y : (x < z ? z : x))
                    : (x < z ? x : (y < z ? z : y));
-    // ternary partition on the character at `depth`
+    // ternary partition on the character pair at `depth`
     int32_t lt = 0, gt = len, p = 0;
     while (p < gt) {
-      int cc = c.ch(a[p], depth);
+      int cc = c.ch2(a[p], depth);
       if (cc < pv) std::swap(a[lt++], a[p++]);
       else if (cc > pv) std::swap(a[--gt], a[p]);
       else p++;
     }
     int32_t l1 = lt, l2 = gt - lt, l3 = len - gt;
-    if (pv < 0 && l2 > 1) {
-      // the equal partition exhausted its substrings together: these
-      // entries share a full substring (same content AND length) and
-      // their position range [lt, gt) is final — record the tie group
+    // the equal partition is final when its substrings exhausted: at
+    // this depth (pv == -1) or one char in (pv low bits == 0).  Either
+    // way the entries share a full substring (same content AND length)
+    // and their position range [lt, gt) is final — record the ties.
+    bool settled = pv < 0 || (pv & 511) == 0;
+    if (settled && l2 > 1)
       for (int32_t t = lt + 1; t < gt; t++) c.tie[(a - c.base) + t] = 1;
-    }
     struct Seg { int32_t off, len, depth; } segs[3];
     int ns = 0;
     if (l1 > 1) segs[ns++] = {0, l1, depth};
-    if (l2 > 1 && pv >= 0) segs[ns++] = {l1, l2, depth + 1};
+    if (l2 > 1 && !settled) segs[ns++] = {l1, l2, depth + 2};
     if (l3 > 1) segs[ns++] = {l1 + l2, l3, depth};
     if (ns == 0) return;
     int largest = 0;
