@@ -367,6 +367,15 @@ def _read_block_header(r, dbuf_size):
     if h != WHOLEPI:
         _throw(Err.NOT_BZIP_DATA)
     target_crc = r.read_bits(32)
+    # full-native fast path: header parse + symbol decode in one call;
+    # any anomaly falls through to the Python parser below, which
+    # reproduces the reference's exact error behavior (and acceptance
+    # of degenerate blocks)
+    if _native is not None and _native.available():
+        res = _native.bz2_block_full(r.data, r.pos, dbuf_size)
+        if res is not None:
+            dbuf, orig_pointer, r.pos = res
+            return dbuf, orig_pointer, target_crc
     if r.read_bits(1):
         _throw(Err.OBSOLETE_INPUT)
     orig_pointer = r.read_bits(24)

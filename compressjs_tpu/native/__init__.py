@@ -52,6 +52,10 @@ def _load():
         lib.cz_suffix_sort_sais.argtypes = [_p_u8, _p_i64, _i64]
         lib.cz_huff_code_lengths.argtypes = [_p_i64, ctypes.c_int32,
                                              ctypes.c_int32, _p_u8]
+        lib.cz_bz2_block_full.argtypes = [_p_u8, _i64,
+                                          ctypes.POINTER(_i64), _i64,
+                                          _p_u8, ctypes.POINTER(_i64)]
+        lib.cz_bz2_block_full.restype = _i64
         lib.cz_selector_mtf.argtypes = [_p_u8, _i64, ctypes.c_int32, _p_u8]
         lib.cz_selector_mtf.restype = _i64
         lib.cz_bwt_cyclic.argtypes = [_p_u8, _p_u8, _i64]
@@ -204,6 +208,24 @@ def selector_mtf(selectors, n_groups):
     if count < 0:
         raise ValueError('invalid selector value')
     return out[:count]
+
+
+def bz2_block_full(data, bitpos, dbuf_size):
+    """Full-native bzip2 block parse+decode from the bit position right
+    after the 48-bit magic and 32-bit CRC.  Returns (dbuf, orig_ptr,
+    new_bitpos) or None on any anomaly (caller re-parses in Python so
+    error behavior matches the reference exactly)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dbuf = np.empty(dbuf_size, dtype=np.uint8)
+    pos = ctypes.c_int64(bitpos)
+    optr = ctypes.c_int64(0)
+    count = lib.cz_bz2_block_full(data, data.shape[0],
+                                  ctypes.byref(pos), dbuf_size,
+                                  dbuf, ctypes.byref(optr))
+    if count < 0:
+        return None
+    return dbuf[:count], int(optr.value), int(pos.value)
 
 
 def suffix_sort_sais(T):

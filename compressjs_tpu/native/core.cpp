@@ -1090,6 +1090,130 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
   return dbuf_count;
 }
 
+// Full-native bzip2 block parse + decode: everything after the 48-bit
+// block magic and 32-bit CRC (randomized bit, origPtr, symbol bitmap,
+// unary+MTF selectors, delta-coded length tables -> permute/base/limit,
+// then the symbol decode via cz_bz2_decode_block).  Returns the dbuf
+// count, or -1 on ANY anomaly — the Python caller then re-parses on its
+// own path so that error behavior (and acceptance of degenerate blocks)
+// stays byte-for-byte identical to the reference.
+int64_t cz_bz2_block_full(const uint8_t* data, int64_t data_len,
+                          int64_t* bitpos_io, int64_t dbuf_size,
+                          uint8_t* dbuf, int64_t* orig_ptr_out) {
+  int64_t pos = *bitpos_io;
+  int64_t total_bits = data_len * 8;
+  auto read_bits = [&](int nb) -> int64_t {
+    int64_t v = 0;
+    for (int k = 0; k < nb; k++) {
+      int64_t p = pos + k;
+      int bit = p < total_bits
+          ? (data[p >> 3] >> (7 - (p & 7))) & 1 : 0;
+      v = (v << 1) | bit;
+    }
+    pos += nb;
+    return v;
+  };
+
+  if (read_bits(1)) return -1;  // randomized: obsolete format
+  int64_t orig_pointer = read_bits(24);
+  if (orig_pointer > dbuf_size) return -1;
+
+  // symbol bitmap
+  uint8_t sym_to_byte[256];
+  int32_t sym_total = 0;
+  {
+    int64_t t = read_bits(16);
+    for (int i = 0; i < 16; i++) {
+      if (t & ((int64_t)1 << (15 - i))) {
+        int64_t k = read_bits(16);
+        for (int j = 0; j < 16; j++)
+          if (k & ((int64_t)1 << (15 - j)))
+            sym_to_byte[sym_total++] = (uint8_t)((i << 4) | j);
+      }
+    }
+  }
+  if (sym_total == 0) return -1;
+  int32_t sym_count = sym_total + 2;
+
+  int32_t group_count = (int32_t)read_bits(3);
+  if (group_count < 2 || group_count > 6) return -1;
+  int64_t n_selectors = read_bits(15);
+  if (n_selectors == 0) return -1;
+
+  // selectors: unary + MTF
+  std::vector<uint8_t> selectors(n_selectors);
+  {
+    uint8_t lst[6];
+    for (int i = 0; i < group_count; i++) lst[i] = (uint8_t)i;
+    for (int64_t s = 0; s < n_selectors; s++) {
+      int j = 0;
+      while (read_bits(1)) {
+        j++;
+        if (j >= group_count) return -1;
+      }
+      uint8_t v = lst[j];
+      for (int t = j; t > 0; t--) lst[t] = lst[t - 1];
+      lst[0] = v;
+      selectors[s] = v;
+    }
+  }
+
+  // delta-coded length tables -> permute/base/limit (Bzip2.js:226-275)
+  int32_t minlen[6], maxlen[6];
+  std::vector<int64_t> limit(6 * 25, 0), base(6 * 22, 0);
+  std::vector<int32_t> permute(6 * 258, 0);
+  for (int g = 0; g < group_count; g++) {
+    int32_t lengths[258];
+    int64_t t = read_bits(5);
+    for (int32_t i = 0; i < sym_count; i++) {
+      for (;;) {
+        if (t < 1 || t > 20) return -1;
+        if (!read_bits(1)) break;
+        if (!read_bits(1)) t++;
+        else t--;
+      }
+      lengths[i] = (int32_t)t;
+    }
+    int32_t mn = lengths[0], mx = lengths[0];
+    for (int32_t i = 1; i < sym_count; i++) {
+      mn = std::min(mn, lengths[i]);
+      mx = std::max(mx, lengths[i]);
+    }
+    minlen[g] = mn;
+    maxlen[g] = mx;
+    int32_t* perm = permute.data() + g * 258;
+    int64_t* lim = limit.data() + g * 25;
+    int64_t* bas = base.data() + g * 22;
+    int32_t pp = 0;
+    for (int32_t l = mn; l <= mx; l++)
+      for (int32_t i = 0; i < sym_count; i++)
+        if (lengths[i] == l) perm[pp++] = i;
+    int64_t temp[21] = {0};
+    for (int32_t i = 0; i < sym_count; i++) temp[lengths[i]]++;
+    int64_t acc = 0, tt = 0;
+    for (int32_t l = mn; l < mx; l++) {
+      acc += temp[l];
+      lim[l] = acc - 1;
+      acc <<= 1;
+      tt += temp[l];
+      bas[l + 1] = acc - tt;
+    }
+    lim[mx] = acc + temp[mx] - 1;
+    if (mx + 1 < 25) lim[mx + 1] = INT64_MAX;
+    bas[mn] = 0;
+  }
+
+  int64_t count = cz_bz2_decode_block(
+      data, data_len, &pos, selectors.data(), n_selectors,
+      minlen, maxlen, limit.data(), base.data(), permute.data(),
+      sym_total, sym_to_byte, dbuf, dbuf_size);
+  if (count < 0) return -1;
+  if (orig_pointer >= count) return -1;
+  *orig_ptr_out = orig_pointer;
+  *bitpos_io = pos;
+  return count;
+}
+
 // Fused MTF + RLE2: BWT column -> bzip2 symbol stream (zero runs as
 // bijective base-2 RUNA/RUNB digits, literal j -> j+1, EOB appended) with
 // the frequency histogram.  Returns symbol count.
