@@ -828,6 +828,7 @@ void cz_huff_code_lengths(const int64_t* freq, int32_t n, int32_t maxlen,
 // bit count.
 int64_t cz_selector_mtf(const uint8_t* sel, int64_t nsel, int32_t n_groups,
                         uint8_t* out) {
+  if (n_groups < 1 || n_groups > 6) return -1;
   uint8_t lst[8];
   for (int32_t i = 0; i < n_groups; i++) lst[i] = (uint8_t)i;
   int64_t o = 0;
@@ -1006,7 +1007,12 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
     std::fill(t, t + (1 << LUT_BITS), (uint16_t)0xFFFF);
     int64_t lo = 0;  // first code value of the current length
     for (int l = minlen[g]; l <= maxlen[g] && l <= L; l++) {
-      for (int64_t j = lo; j <= lim[l]; j++) {
+      // clamp to the code space of length l: an over-subscribed
+      // (Kraft > 1) table from corrupt input may claim lim[l] >= 2^l,
+      // which would index past the table; clamped codes stay 0xFFFF
+      // and fall to the walk path, which bounds-checks and errors
+      int64_t hi = std::min(lim[l], ((int64_t)1 << l) - 1);
+      for (int64_t j = lo; j <= hi; j++) {
         int64_t idx = j - bas[l];
         if (idx < 0 || idx >= 258) continue;  // corrupt table: walk path
         uint16_t v = (uint16_t)((perm[idx] << 5) | l);
@@ -1067,6 +1073,9 @@ int64_t cz_bz2_decode_block(const uint8_t* data, int64_t data_len,
       if (!run_pos) { run_pos = 1; t_acc = 0; }
       t_acc += (next_sym == 0) ? run_pos : 2 * run_pos;
       run_pos <<= 1;
+      if (t_acc > dbuf_size) return -1;  // also preempts int64 wrap of
+                                         // run_pos/t_acc on crafted
+                                         // 60+-symbol run codes
       continue;
     }
     if (run_pos) {
