@@ -102,3 +102,36 @@ def test_suffix_sort_large_structured():
         assert pidx == int(np.nonzero(sa == 0)[0][0]), ('pidx', trial)
         assert np.array_equal(native.suffix_sort(t), suffix_array(t)), \
             ('eof', trial)
+
+
+def test_corrupt_multiblock_bzip2_never_crashes(ref_samples):
+    """Multi-block streams route through the full-native block parse and
+    the block-parallel dispatch — corruption there must raise or produce
+    a clean wrong-data error, never crash (the native parse returns -1
+    on any anomaly and the Python parser re-runs for the exact error)."""
+    data = ref_samples['sample5']
+    comp = np.asarray(cz.Bzip2.compress_file(data, None, 1),
+                      dtype=np.uint8)  # level 1: ~22 blocks
+    assert comp.shape[0] > 65536  # must exercise the parallel dispatch
+    for seed in range(30):
+        rng = np.random.RandomState(7000 + seed)
+        bad = comp.copy()
+        if seed % 5 == 4:
+            bad = bad[:rng.randint(16, len(bad))].copy()
+        elif seed % 5 == 3:
+            # target an early region (headers/tables) specifically
+            idx = rng.randint(4, 2048, size=rng.randint(1, 8))
+            bad[idx] = rng.randint(0, 256, size=len(idx))
+        else:
+            idx = rng.randint(0, len(bad), size=rng.randint(1, 24))
+            bad[idx] = rng.randint(0, 256, size=len(idx))
+        try:
+            out = cz.Bzip2.decompress_file(bad)
+            # parallel assembly may fall back and even "succeed" if the
+            # flip landed in dead bits; any returned data must then be
+            # the true plaintext (CRC-validated)
+            assert bytes(out) == data
+        except Exception:
+            pass
+    # the pristine stream still decodes after all that
+    assert bytes(cz.Bzip2.decompress_file(comp)) == data
