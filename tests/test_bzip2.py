@@ -123,3 +123,20 @@ def test_rle1_edge_cases():
 def test_empty_input():
     comp = bzip2.compress_file(b'', None, 9)
     assert bytes(bzip2.decompress_file(comp)) == b''
+
+
+@pytest.mark.parametrize('level', list(range(1, 10)))
+def test_c_bzip2_interop_every_level(level, tmp_path):
+    """Both directions against the C binary at every block-size level;
+    sample4 (~900KB) is multi-block at the low levels."""
+    ref = read(f'{REF}/sample4.ref')
+    # ours -> C
+    comp = bytes(bzip2.compress_file(ref, None, level))
+    p = tmp_path / 'x.bz2'
+    p.write_bytes(comp)
+    out = subprocess.run(['bzip2', '-dc', str(p)], capture_output=True)
+    assert out.returncode == 0 and out.stdout == ref, level
+    # C -> ours
+    cb = subprocess.run(['bzip2', f'-{level}', '-c'], input=ref,
+                        capture_output=True).stdout
+    assert bytes(bzip2.decompress_file(cb)) == ref, level
