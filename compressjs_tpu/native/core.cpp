@@ -2599,11 +2599,15 @@ struct Model {
       keys[c] = k | ((uint64_t)(c + 1) << 41);
     }
   }
-  void update(int32_t symbol, int64_t at_pos, int c_match) {
+  void update(int32_t symbol, int64_t at_pos, int c_match,
+              DenseMTF* const* seen = nullptr, int seen_from = 0x7f) {
     uint64_t ks[MAX_CONTEXT + 1];
     ctx_keys(at_pos, ks);
     for (int c = 0; c <= MAX_CONTEXT; c++) {
-      DenseMTF* m = find_or_create(ks[c], c);
+      // the encode/decode walk already looked these contexts up (from
+      // the longest down to the match level); reuse its non-null hits
+      DenseMTF* m = (seen && c >= seen_from && seen[c])
+          ? seen[c] : find_or_create(ks[c], c);
       if (c >= c_match) m->update_sym(symbol, INCR / 2);
       m->refcount++;
     }
@@ -2643,39 +2647,43 @@ struct Model {
     Exclude ex;
     uint64_t ks[MAX_CONTEXT + 1];
     ctx_keys(p0, ks);
+    DenseMTF* seen[MAX_CONTEXT + 1];
     int c;
     for (c = MAX_CONTEXT; c >= 0; c--) {
       DenseMTF* m = find(ks[c], c);
+      seen[c] = m;
       if (m) {
         int32_t r = m->encode(e, symbol, ex);
         if (r == 1) {
-          update(symbol, p0, c);
+          update(symbol, p0, c, seen, c);
           return;
         }
       }
     }
     cm1_encode(e, symbol, ex);
-    update(symbol, p0, c);  // c == -1
+    update(symbol, p0, c, seen, 0);  // c == -1
   }
   int32_t decode(rc::Dec& d) {
     int64_t p0 = pos;
     Exclude ex;
     uint64_t ks[MAX_CONTEXT + 1];
     ctx_keys(p0, ks);
+    DenseMTF* seen[MAX_CONTEXT + 1];
     int c;
     int32_t symbol = -1;
     for (c = MAX_CONTEXT; c >= 0; c--) {
       DenseMTF* m = find(ks[c], c);
+      seen[c] = m;
       if (m) {
         symbol = m->decode(d, ex);
         if (symbol >= 0) {
-          update(symbol, p0, c);
+          update(symbol, p0, c, seen, c);
           return symbol;
         }
       }
     }
     symbol = cm1_decode(d, ex);
-    update(symbol, p0, c);
+    update(symbol, p0, c, seen, 0);
     return symbol;
   }
 };
