@@ -15,6 +15,8 @@ the parallel path batches across independent streams.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..coders.range_coder import RangeCoder
@@ -105,7 +107,6 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
     # wall time per block becomes ~max(transform, coder) instead of
     # their sum.  The BWT hook is resolved HERE (it is a ContextVar,
     # invisible to pool threads) and captured by the job.
-    import os as _os
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -122,7 +123,7 @@ def _compress_guts(in_stream, out_stream, file_size, props, final_byte):
         mtf_seq = mtf_ops.mtf_encode(U, alphabet)
         return pidx, used, alphabet, mtf_seq
 
-    workers = max(1, min(4, _os.cpu_count() or 1))
+    workers = max(1, min(4, os.cpu_count() or 1))
     ex = ThreadPoolExecutor(workers)
     pending = deque()
     eof = False

@@ -237,6 +237,9 @@ def compress_file(input_data, output=None, props=None):
     def ent_job(crc, block, U, pidx):
         return crc, entropy_stage_bits(block, U, pidx)
 
+    def whole_job(block, start, consumed):
+        return ent_job(*bwt_job(block, start, consumed))
+
     def chain_ent(ex, bwt_fut):
         """Future for ent_job(*bwt_fut.result()), submitted only once
         the BWT task finishes (never parks a worker on a wait)."""
@@ -292,9 +295,8 @@ def compress_file(input_data, output=None, props=None):
                                         consumed)
                     inflight.append(chain_ent(ex, bwt_fut))
                 else:
-                    inflight.append(ex.submit(
-                        lambda b, s, c: ent_job(*bwt_job(b, s, c)),
-                        block, start - consumed, consumed))
+                    inflight.append(ex.submit(whole_job, block,
+                                              start - consumed, consumed))
             while len(inflight) > workers + 1:
                 drain(inflight.popleft())
         while inflight:

@@ -64,6 +64,18 @@ def _prefix_double(rank0, idx, n, rank2_of, k0):
     return rank
 
 
+def pack_cyclic_seed_keys(bu):
+    """Two uint32 sort keys packing 8 bytes of cyclic context per
+    position (shared by the single-chip kernel and the CP sharded
+    sort); seeding the doubling at k=8 saves two full sort rounds."""
+    def at(d):
+        return jnp.roll(bu, -d)
+
+    hi = (bu << 24) | (at(1) << 16) | (at(2) << 8) | at(3)
+    lo = (at(4) << 24) | (at(5) << 16) | (at(6) << 8) | at(7)
+    return hi, lo
+
+
 def _seed_ranks(hi, lo, idx, n):
     """Initial rank compression from per-position (hi, lo) seed keys."""
     s1, s2, order0 = lax.sort((hi, lo, idx), num_keys=2)
@@ -89,12 +101,7 @@ def cyclic_suffix_sort(block, n):
     digram seed."""
     bu = block[:n].astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
-
-    def at(d):
-        return jnp.roll(bu, -d)
-
-    hi = (bu << 24) | (at(1) << 16) | (at(2) << 8) | at(3)
-    lo = (at(4) << 24) | (at(5) << 16) | (at(6) << 8) | at(7)
+    hi, lo = pack_cyclic_seed_keys(bu)
     rank0 = _seed_ranks(hi, lo, idx, n)
     rank = _prefix_double(rank0, idx, n,
                           lambda rank, k: jnp.roll(rank, -k), 8)

@@ -33,6 +33,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..ops import jax_kernels as jk
+
 AXIS = 'dp'
 
 
@@ -193,11 +195,7 @@ def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
         # come from the gather), matching the single-chip kernel: two
         # packed uint32 keys save two doubling rounds over a digram seed
         full = lax.all_gather(block_sharded, AXIS, tiled=True)
-        bu = full.astype(jnp.uint32)
-        hi = ((bu << 24) | (jnp.roll(bu, -1) << 16)
-              | (jnp.roll(bu, -2) << 8) | jnp.roll(bu, -3))
-        lo = ((jnp.roll(bu, -4) << 24) | (jnp.roll(bu, -5) << 16)
-              | (jnp.roll(bu, -6) << 8) | jnp.roll(bu, -7))
+        hi, lo = jk.pack_cyclic_seed_keys(full.astype(jnp.uint32))
         # initial rank compression, replicated (cheap, one pass)
         idx0 = jnp.arange(n, dtype=jnp.int32)
         s1, s2, order0 = lax.sort((hi, lo, idx0), num_keys=2)
