@@ -175,3 +175,27 @@ def test_two_stage_sorters_on_sample_text(ref_samples):
     u1, p1 = native.bwt_cyclic(T)
     u2, p2 = native.bwt_cyclic_ref(T)
     assert p1 == p2 and (u1 == u2).all()
+
+
+@pytest.mark.slow
+def test_two_stage_sorters_full_block_scale(ref_samples):
+    """Full 900KB-block-scale differential: real text, periodic, and
+    low-alphabet inputs through both sort pairs (two-stage vs SA-IS,
+    direct-cyclic vs doubled-string)."""
+    from compressjs_tpu import native
+    if not native.available():
+        pytest.skip('native runtime unavailable')
+    text = np.frombuffer(ref_samples['sample5'][:899981], dtype=np.uint8)
+    rng = np.random.RandomState(77)
+    cases = [
+        text,
+        np.tile(np.frombuffer(b'compressible phrase. ', dtype=np.uint8),
+                45000)[:899981],
+        rng.randint(0, 3, 899981).astype(np.uint8),
+        np.tile(np.frombuffer(b'ab', dtype=np.uint8), 450000)[:899981],
+    ]
+    for T in cases:
+        assert (native.suffix_sort(T) == native.suffix_sort_sais(T)).all()
+        u1, p1 = native.bwt_cyclic(T)
+        u2, p2 = native.bwt_cyclic_ref(T)
+        assert p1 == p2 and (u1 == u2).all()
