@@ -51,8 +51,13 @@ def test_block_index_matches_table(multiblock):
     assert scan_positions == table_positions
 
 
+@pytest.mark.filterwarnings('ignore::DeprecationWarning')
+@pytest.mark.filterwarnings('ignore::RuntimeWarning')
 @pytest.mark.parametrize('executor', ['thread', 'process'])
 def test_parallel_decode_matches_sequential(multiblock, executor):
+    # the 'process' case forks with JAX loaded — exactly why the thread
+    # executor is the default; the fork warnings are the expected cost
+    # of exercising the opt-in path
     comp, want = multiblock
     out = pdec.decompress_file_parallel(
         np.frombuffer(comp, dtype=np.uint8), None, executor=executor)
