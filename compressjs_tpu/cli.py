@@ -46,9 +46,16 @@ def _dispatch(name):
     return table[key]
 
 
+def _version():
+    import compressjs_tpu
+    return compressjs_tpu.version
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog='compressjs_tpu', usage='%(prog)s -d|-z [infile] [outfile]')
+    p.add_argument('-V', '--version', action='version',
+                   version='%(prog)s ' + _version())
     p.add_argument('-d', '--decompress', action='store_true',
                    help='Decompress infile to outfile')
     p.add_argument('-z', '--compress', action='store_true',
