@@ -98,7 +98,14 @@ def cyclic_suffix_sort(block, n):
     worst case, so the doubling runs in a lax.while_loop that stops once
     ranks are unique.  Ranks are seeded from EIGHT bytes of context (two
     packed uint32 sort keys), saving two full doubling rounds over a
-    digram seed."""
+    digram seed.
+
+    Negative result (measured, v5e): 'discarding' prefix doubling (sort
+    only still-tied positions through compacted n/4..n/64 buffers) was
+    neutral on text and 1.8x SLOWER on run-structured data — the tied
+    set only collapses below n/4 around the round where dense rounds
+    finish anyway, so the gather/compact/scatter machinery never pays
+    for itself at 900 KB block scale.  Keep the rounds dense."""
     bu = block[:n].astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
     hi, lo = pack_cyclic_seed_keys(bu)
