@@ -32,9 +32,10 @@ DEVICE_TIMEOUT = 480
 
 
 def _measure(compress, data):
-    comp = bytes(compress(data))  # warmup (compiles)
-    elapsed = min(_timed(compress, data) for _ in range(3))
-    comp = bytes(compress(data))
+    compress(data)  # warmup (compiles)
+    runs = [_timed(compress, data) for _ in range(3)]
+    elapsed = min(t for t, _ in runs)
+    comp = bytes(runs[-1][1])  # reuse the last timed run's output
     from compressjs_tpu.codecs import bzip2 as bzip2_host
     out = bytes(bzip2_host.decompress_file(comp))
     assert out == data.tobytes(), 'roundtrip failed'
@@ -44,8 +45,8 @@ def _measure(compress, data):
 
 def _timed(compress, data):
     t0 = time.time()
-    compress(data)
-    return time.time() - t0
+    result = compress(data)
+    return time.time() - t0, result
 
 
 def _report(label, elapsed, nbytes):

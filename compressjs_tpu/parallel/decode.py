@@ -4,10 +4,13 @@ The seek-bzip block index (bit-addressed block starts) is the sharding
 manifest for decode (SURVEY.md §5): blocks decode independently, so the
 decoder scans for the 48-bit block magic at every bit alignment
 (vectorized), decodes all candidate blocks concurrently (the native
-decode loop releases the GIL), and validates the assembly with the
-per-block CRCs plus the rolling stream CRC.  Any inconsistency — e.g. a
-payload bit pattern that happens to look like a block magic — falls back
-to the sequential decoder.
+decode loop releases the GIL), and assembles by chaining exact bit
+positions: block i+1 must begin at the bit where block i's decode
+ended, and the chain must terminate in the end-of-stream magic whose
+stored CRC matches the rolling stream CRC — so the output is exactly
+what the sequential decoder would produce (false-positive magics inside
+payloads and bytes appended after the end magic are ignored).  Any
+inconsistency falls back to the sequential decoder.
 
 The same scan powers `block_index()`, a fast alternative to
 `Bzip2.table()` when only positions (not uncompressed sizes) are needed.
@@ -26,7 +29,6 @@ from ..utils.stream import coerce_output_stream
 
 _MAGIC_BITS = np.array([0x31, 0x41, 0x59, 0x26, 0x53, 0x59],
                        dtype=np.uint8)
-_END_BITS = np.array([0x17, 0x72, 0x45, 0x38, 0x50, 0x90], dtype=np.uint8)
 
 
 def _scan_magic(data, pattern):
@@ -92,9 +94,13 @@ def _decode_at_fork(args):
     rr = bz._BitReader(data)
     rr.seek_bit(pos)
     try:
-        return bz._decode_one_block(rr, dbuf_size)
+        res = bz._decode_one_block(rr, dbuf_size)
     except ValueError:
         return None
+    if res is None:
+        return None
+    out, crc = res
+    return out, crc, rr.tell_bit()
 
 
 def decompress_file_parallel(input_data, output=None, n_workers=None,
@@ -136,32 +142,42 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
             rr = bz._BitReader(data)
             rr.seek_bit(pos)
             try:
-                return bz._decode_one_block(rr, dbuf_size)
+                res = bz._decode_one_block(rr, dbuf_size)
             except ValueError:
                 return None
+            if res is None:
+                return None
+            out, crc = res
+            return out, crc, rr.tell_bit()
 
         with ThreadPoolExecutor(n_workers) as ex:
             results = list(ex.map(decode_at, candidates))
 
+    # Assemble by CHAINING exact bit positions — block i+1 must start at
+    # the bit where block i's decode ended, exactly as the sequential
+    # reader would encounter it.  Candidates off the chain (false-
+    # positive magics inside payloads, or data appended after the end
+    # magic) are ignored, so the parallel path accepts exactly the
+    # prefix the sequential decoder would produce and nothing more.
+    by_pos = {}
+    for pos, res in zip(candidates, results):
+        if res is not None and res[2] > pos:
+            by_pos[pos] = res
     pieces = []
     stream_crc = 0
-    for res in results:
-        if res is None:
-            continue  # false-positive magic inside a payload
-        out, crc = res
+    pos = first_block_pos
+    while pos in by_pos:
+        out, crc, end = by_pos.pop(pos)
         pieces.append(out)
         stream_crc = stream_crc_combine(stream_crc, crc)
+        pos = end
     if not pieces:
         return bz.decompress_file(data, output, _sequential=True)
-    # validate the assembly against the trailing stream CRC
-    valid = False
-    for p in _scan_magic(data, _END_BITS):
-        rr = bz._BitReader(data)
-        rr.seek_bit(int(p) + 48)
-        if rr.read_bits(32) == stream_crc:
-            valid = True
-            break
-    if not valid:
+    # the chain must terminate in the 48-bit end-of-stream magic followed
+    # by the combined stream CRC, at the exact bit the last block ended
+    rr = bz._BitReader(data)
+    rr.seek_bit(pos)
+    if rr.read_bits(48) != bz.SQRTPI or rr.read_bits(32) != stream_crc:
         return bz.decompress_file(data, output, _sequential=True)
     o = coerce_output_stream(output)
     for piece in pieces:

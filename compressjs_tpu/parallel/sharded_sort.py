@@ -198,12 +198,7 @@ def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
         hi, lo = jk.pack_cyclic_seed_keys(full.astype(jnp.uint32))
         # initial rank compression, replicated (cheap, one pass)
         idx0 = jnp.arange(n, dtype=jnp.int32)
-        s1, s2, order0 = lax.sort((hi, lo, idx0), num_keys=2)
-        diff0 = jnp.ones(n, dtype=jnp.int32)
-        diff0 = diff0.at[1:].set(
-            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
-        rank_full = jnp.zeros(n, dtype=jnp.int32)
-        rank_full = rank_full.at[order0].set(jnp.cumsum(diff0) - 1)
+        rank_full = jk._seed_ranks(hi, lo, idx0, n)
         rank_shard = lax.dynamic_slice(rank_full, (base,), (s,))
 
         def cond(state):

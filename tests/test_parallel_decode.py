@@ -125,3 +125,41 @@ def test_multistream_via_default_entry(multiblock):
     comp, want = multiblock
     out = bzip2.decompress_file(comp + comp, None, True)
     assert bytes(out) == want + want
+
+
+def test_injected_blocks_after_end_magic_are_ignored(multiblock):
+    """Adversarial: append a second stream's block section plus a forged
+    end magic whose 32-bit CRC matches the rolling combination of ALL
+    decodable blocks in the file.  The sequential/reference decoder
+    stops at the true end magic; parallel assembly must too (it chains
+    exact bit positions), not vacuum up every decodable block."""
+    from compressjs_tpu.utils.crc32 import stream_crc_combine
+
+    comp, want = multiblock
+    extra = np.frombuffer(b'injected payload, not part of the stream. '
+                          * 400, dtype=np.uint8)
+    comp2 = bytes(bzip2.compress_file(extra, None, 1))
+    # strip comp2's 4-byte BZh1 header so its first block magic lands
+    # byte-aligned in the crafted tail
+    evil = comp + comp2[4:]
+
+    # forge a trailing end magic + CRC covering every decodable block in
+    # candidate-scan order (computable by an attacker from the streams)
+    folded = 0
+    for blob, level in ((comp, 9), (comp2, 1)):
+        r = bzip2._BitReader(np.frombuffer(blob, dtype=np.uint8))
+        bzip2._start(r)
+        while True:
+            res = bzip2._decode_one_block(r, 100000 * level)
+            if res is None:
+                break
+            folded = stream_crc_combine(folded, res[1])
+    end_bits = (bzip2.SQRTPI << 32) | folded
+    evil += int(end_bits).to_bytes(10, 'big')
+
+    evil_arr = np.frombuffer(evil, dtype=np.uint8)
+    seq = bytes(bzip2.decompress_file(evil_arr, _sequential=True))
+    assert seq == want  # reference semantics: trailing bytes ignored
+    par = bytes(pdec.decompress_file_parallel(evil_arr))
+    assert par == want
+    assert bytes(bzip2.decompress_file(evil_arr)) == want
