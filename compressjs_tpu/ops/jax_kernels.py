@@ -278,11 +278,16 @@ def _rank_of(keys):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def mtf_encode(data, n, chunk_len=2048, width=256):
+def mtf_encode(data, n, chunk_len=512, width=256):
     """MTF indices of data[:n] (dense symbols < width) with the identity
     initial list.  Parallel across n/chunk_len chunks; each scan step
     updates all chunks' width-entry position tables at once.  `width` is
-    the alphabet bucket (64/128/256): the scan's work is linear in it."""
+    the alphabet bucket (64/128/256): the scan's work is linear in it.
+
+    chunk_len=512 measured fastest on v5e for 900 KB blocks (7.9 MB/s vs
+    3.4 at 2048, 6.9 at 256): shorter chunks mean more parallel lanes
+    and fewer sequential scan steps, until start-state composition and
+    per-step overhead win below ~512."""
     n_chunks = -(-n // chunk_len)
     padded = n_chunks * chunk_len
     # pad with symbol 0 (harmless: outputs past n are discarded)
@@ -319,7 +324,7 @@ def encode_block_core(block, n, remap, eob, width=256):
     U = block[:n][(order - 1) % n]
     pidx = jnp.argmax(order == 0).astype(jnp.int32)
     dense = remap[U.astype(jnp.int32)]
-    mtf_seq = mtf_encode(dense, n, 2048, width)
+    mtf_seq = mtf_encode(dense, n, 512, width)
     syms, count, freq = rle2_encode(mtf_seq, n, eob)
     return pidx, syms, count, freq
 
