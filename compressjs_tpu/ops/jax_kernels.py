@@ -346,32 +346,33 @@ def rle2_encode(mtf_seq, n, eob):
         [seq[1:] != 0, jnp.ones(1, dtype=jnp.bool_)])
     run_end = is_zero & nxt_nonzero
     run_len = jnp.where(run_end, idx - run_start + 1, 0)
-    # digit count = bit_length(L+1) - 1, integer-exact via comparisons
-    pow2 = (jnp.int32(1) << jnp.arange(1, 22, dtype=jnp.int32))
-    k_digits = jnp.sum((run_len[:, None] + 1) >= pow2[None, :],
-                       axis=1).astype(jnp.int32)
-    k_digits = jnp.where(run_end, k_digits, 0)
+    # digit count = bit_length(L+1) - 1; float32 exponent is exact for
+    # L+1 <= 2^24 >> the 900001 block-size bound
+    k_digits = jnp.frexp((run_len + 1).astype(jnp.float32))[1] - 1
+    k_digits = jnp.where(run_end, k_digits.astype(jnp.int32), 0)
 
     out_count = jnp.where(is_zero, k_digits, 1)
     offsets = jnp.cumsum(out_count) - out_count
     total = jnp.sum(out_count)
 
-    syms = jnp.full(n + 2, eob, dtype=jnp.int32)
-    # literals j -> j+1 at their offsets
-    syms = syms.at[jnp.where(~is_zero, offsets, n + 1)].set(
-        jnp.where(~is_zero, seq + 1, eob), mode='drop')
-    # run digits: digit j of the run ending at i lands at offsets[i]+j
-    max_digits = 21
-    dig = jnp.arange(max_digits, dtype=jnp.int32)
-    dvalid = run_end[:, None] & (dig[None, :] < k_digits[:, None])
-    dvals = (((run_len[:, None] + 1) >> dig[None, :]) & 1)
-    dpos = jnp.where(dvalid, offsets[:, None] + dig[None, :], n + 1)
-    syms = syms.at[dpos.reshape(-1)].set(
-        jnp.where(dvalid, dvals, eob).reshape(-1).astype(jnp.int32),
-        mode='drop')
-    syms = syms.at[total].set(eob)
+    # gather formulation (a scatter of n*21 digit candidates measured 5x
+    # slower on v5e): each producer (literal or run end) claims its first
+    # output slot via one n-element scatter-max, a running max then tells
+    # every output slot which producer covers it, and symbol values are
+    # computed by gathers — literal j -> j+1, digit d of a run -> bit d
+    # of run_len+1 (the bijective base-2 digits)
+    out_idx = jnp.arange(n + 1, dtype=jnp.int32)
+    producer = out_count > 0
+    mark = jnp.zeros(n + 1, dtype=jnp.int32)
+    mark = mark.at[jnp.where(producer, offsets, n + 1)].max(
+        idx, mode='drop')
+    iat = lax.associative_scan(jnp.maximum, mark)
+    digit = out_idx - offsets[iat]
+    s = seq[iat]
+    sym = jnp.where(s != 0, s + 1, ((run_len[iat] + 1) >> digit) & 1)
+    # slots >= total are eob padding; slot `total` is the real EOB
+    syms = jnp.where(out_idx < total, sym, eob)
     count = total + 1
-    syms = syms[:n + 1]
     # histogram; positions >= count hold eob padding — subtract it
     freq = jnp.bincount(syms, length=260)
     freq = freq.at[eob].add(-((n + 1) - count))

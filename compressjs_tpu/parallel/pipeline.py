@@ -304,7 +304,12 @@ class DeviceBWTCEncoder:
             if isinstance(data, np.ndarray) \
             else np.frombuffer(bytes(data), dtype=np.uint8)
 
-        # precompute device BWTs for the full-size blocks
+        # precompute device BWTs for the full-size blocks, keyed by
+        # block CONTENT: the codec's own prefetch pool calls the hook
+        # from multiple threads in nondeterministic order, so call-order
+        # bookkeeping would hand blocks each other's transforms (two
+        # identical blocks sharing one future is correct — same bytes,
+        # same BWT)
         bs = self.block_size
         n_full = len(data) // bs
         futures = {}
@@ -314,16 +319,13 @@ class DeviceBWTCEncoder:
             for b in range(n_full):
                 blk = data[b * bs:(b + 1) * bs]
                 dev = jk.bwt_eof_block(jnp.asarray(blk), bs)
-                futures[b * bs] = pool.submit(
+                futures[blk.tobytes()] = pool.submit(
                     lambda d: (np.asarray(d[0]), int(d[1])), dev)
 
         # route this call's bwtransform through the precomputed results
         # (thread-local hook: concurrent compressions stay independent)
-        state = {'off': 0}
-
         def bwt_with_cache(T, U, A, n, alphabet_size=256):
-            fut = futures.get(state['off']) if n == bs else None
-            state['off'] += n
+            fut = futures.get(T.tobytes()) if n == bs else None
             if fut is not None:
                 Un, pidx = fut.result()
                 U[:n] = Un

@@ -276,3 +276,57 @@ def test_mesh_compress_bzip2_end_to_end(ref_samples):
     comp = bytes(mesh_compress_bzip2(mesh, data, 1))
     assert comp == bytes(bzip2.compress_file(data, None, 1))
     assert bytes(bzip2.decompress_file(comp)) == data
+
+
+def test_device_bwtc_encoder_immune_to_job_order(ref_samples, monkeypatch):
+    """The codec's prefetch pool may run block transform jobs in any
+    order; the device encoder's BWT-cache hook must match each block by
+    content, not call order (regression: call-order bookkeeping handed
+    two full blocks each other's transforms when the second job ran
+    first).  A fake executor runs the SECOND-submitted job first —
+    exactly the failing interleaving (full reversal would make every
+    call-order lookup miss and fall back to the host path, masking
+    the swap)."""
+    import concurrent.futures as cf
+    from compressjs_tpu.parallel.pipeline import DeviceBWTCEncoder
+    from compressjs_tpu.codecs.bwtc import BWTC
+
+    class LazyFuture(cf.Future):
+        def __init__(self, owner):
+            super().__init__()
+            self._owner = owner
+
+        def result(self, timeout=None):
+            self._owner.drain()
+            return super().result(timeout)
+
+    class SwappedExecutor:
+        """Defers every job; the first result() request runs all
+        pending jobs with the first two swapped (second runs first)."""
+
+        def __init__(self, *a, **k):
+            self._q = []
+
+        def submit(self, fn, *args, **kwargs):
+            f = LazyFuture(self)
+            self._q.append((f, fn, args, kwargs))
+            return f
+
+        def drain(self):
+            q, self._q = self._q, []
+            if len(q) >= 2:
+                q[0], q[1] = q[1], q[0]
+            for f, fn, args, kwargs in q:
+                try:
+                    f.set_result(fn(*args, **kwargs))
+                except Exception as e:  # pragma: no cover
+                    f.set_exception(e)
+
+        def shutdown(self, wait=True):
+            self.drain()
+
+    data = ref_samples['sample2']
+    host = bytes(BWTC.compress_file(data, None, 1))
+    monkeypatch.setattr(cf, "ThreadPoolExecutor", SwappedExecutor)
+    dev = bytes(DeviceBWTCEncoder(1).compress(data))
+    assert dev == host
