@@ -125,7 +125,16 @@ def eof_suffix_sort(block, n):
     Same early-exit prefix doubling as the cyclic variant, with -1 rank
     padding past the end instead of cyclic wrap.  Ranks are seeded from
     SIX bytes of context: three 9-bit fields per int32 key (byte+1, with
-    0 as the sentinel), saving ~1.5 doubling rounds over a digram seed."""
+    0 as the sentinel), saving ~1.5 doubling rounds over a digram seed.
+
+    The explicit sentinel field is LOAD-BEARING: seeding from raw
+    0-padded bytes (8 per key pair) is wrong — a suffix shorter than k0
+    ties with a longer one whose next real bytes are 0, and the
+    doubling cannot fix it later because k only visits k0*2^t, which
+    can skip the window [n-j, n-i) where the -1 rank padding would
+    separate positions i < j (differential-tested failure: all-zero
+    input).  The seed must already order truncated-to-k0 suffixes with
+    shorter-is-prefix-first semantics."""
     b32 = block[:n].astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     b1 = b32 + 1  # 1..256; 0 is the virtual sentinel
