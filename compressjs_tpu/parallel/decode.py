@@ -88,9 +88,9 @@ def block_index(data):
 _FORK_DATA = {}
 
 
-def _decode_at_fork(args):
-    key, pos, dbuf_size = args
-    data = _FORK_DATA[key]
+def _decode_at(data, pos, dbuf_size):
+    """Decode one candidate block at bit `pos`; returns
+    (output, crc, end_bit) or None (end magic / undecodable)."""
     rr = bz._BitReader(data)
     rr.seek_bit(pos)
     try:
@@ -101,6 +101,11 @@ def _decode_at_fork(args):
         return None
     out, crc = res
     return out, crc, rr.tell_bit()
+
+
+def _decode_at_fork(args):
+    key, pos, dbuf_size = args
+    return _decode_at(_FORK_DATA[key], pos, dbuf_size)
 
 
 def decompress_file_parallel(input_data, output=None, n_workers=None,
@@ -138,20 +143,9 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
         finally:
             del _FORK_DATA[key]
     else:
-        def decode_at(pos):
-            rr = bz._BitReader(data)
-            rr.seek_bit(pos)
-            try:
-                res = bz._decode_one_block(rr, dbuf_size)
-            except ValueError:
-                return None
-            if res is None:
-                return None
-            out, crc = res
-            return out, crc, rr.tell_bit()
-
         with ThreadPoolExecutor(n_workers) as ex:
-            results = list(ex.map(decode_at, candidates))
+            results = list(ex.map(
+                lambda pos: _decode_at(data, pos, dbuf_size), candidates))
 
     # Assemble by CHAINING exact bit positions — block i+1 must start at
     # the bit where block i's decode ended, exactly as the sequential

@@ -304,12 +304,19 @@ class DeviceBWTCEncoder:
             if isinstance(data, np.ndarray) \
             else np.frombuffer(bytes(data), dtype=np.uint8)
 
-        # precompute device BWTs for the full-size blocks, keyed by
-        # block CONTENT: the codec's own prefetch pool calls the hook
-        # from multiple threads in nondeterministic order, so call-order
-        # bookkeeping would hand blocks each other's transforms (two
-        # identical blocks sharing one future is correct — same bytes,
-        # same BWT)
+        # precompute device BWTs for the full-size blocks, keyed by a
+        # digest of the block CONTENT: the codec's own prefetch pool
+        # calls the hook from multiple threads in nondeterministic
+        # order, so call-order bookkeeping would hand blocks each
+        # other's transforms (two identical blocks sharing one future
+        # is correct — same bytes, same BWT).  A 32-byte blake2b key
+        # instead of the bytes themselves keeps retained memory O(1)
+        # per block on large inputs.
+        import hashlib
+
+        def block_key(a):
+            return hashlib.blake2b(a, digest_size=32).digest()
+
         bs = self.block_size
         n_full = len(data) // bs
         futures = {}
@@ -319,13 +326,13 @@ class DeviceBWTCEncoder:
             for b in range(n_full):
                 blk = data[b * bs:(b + 1) * bs]
                 dev = jk.bwt_eof_block(jnp.asarray(blk), bs)
-                futures[blk.tobytes()] = pool.submit(
+                futures[block_key(blk)] = pool.submit(
                     lambda d: (np.asarray(d[0]), int(d[1])), dev)
 
         # route this call's bwtransform through the precomputed results
         # (thread-local hook: concurrent compressions stay independent)
         def bwt_with_cache(T, U, A, n, alphabet_size=256):
-            fut = futures.get(T.tobytes()) if n == bs else None
+            fut = futures.get(block_key(T)) if n == bs else None
             if fut is not None:
                 Un, pidx = fut.result()
                 U[:n] = Un
