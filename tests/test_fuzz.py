@@ -135,3 +135,35 @@ def test_corrupt_multiblock_bzip2_never_crashes(ref_samples):
             pass
     # the pristine stream still decodes after all that
     assert bytes(cz.Bzip2.decompress_file(comp)) == data
+
+
+def _block_scale_cases():
+    """Pathological BLOCK-SCALE inputs (the seeded fuzz above stays
+    under 5 KB): RLE1 block-cut edges, all-zero/periodic full blocks,
+    embedded block-magic byte patterns, exact -19 boundary lengths."""
+    rng = np.random.RandomState(42)
+    data = open('/root/reference/test/sample5.ref', 'rb').read()
+    magic = bytes([0x31, 0x41, 0x59, 0x26, 0x53, 0x59])
+    return [
+        b'\x00' * 100000,                      # one all-zero block
+        b'ab' * 60000,                         # period 2 across blocks
+        (b'Q' * 259) * 400,                    # max RLE1 runs back-to-back
+        rng.randint(0, 256, 150000, dtype=np.uint8).tobytes(),
+        data[:100000 - 19],                    # exact level-1 block cut
+        data[:100000 - 18],                    # one past the cut
+        data[:200001],                         # multi-block + 1
+        magic * 20000,                         # payload full of block magic
+    ]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name', ['Bzip2', 'BWTC', 'Lzjb', 'LzjbR',
+                                  'Lzp3', 'Simple', 'PPM', 'Dmc'])
+def test_block_scale_pathological_roundtrip(name):
+    codec = getattr(cz, name)
+    levels = [1, 9] if name in ('Bzip2', 'BWTC', 'Lzjb', 'LzjbR') else [None]
+    for case in _block_scale_cases():
+        for lv in levels:
+            comp = (codec.compress_file(case, None, lv) if lv
+                    else codec.compress_file(case))
+            assert bytes(codec.decompress_file(comp)) == case, (name, lv)
