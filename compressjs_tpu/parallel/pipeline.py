@@ -300,7 +300,8 @@ class DeviceBWTCEncoder:
         import compressjs_tpu.codecs.bwtc as bwtc_mod
         from ..ops import bwt as bwt_ops
 
-        data = np.asarray(data, dtype=np.uint8) \
+        # ascontiguousarray: the digest keys below hash buffer views
+        data = np.ascontiguousarray(data, dtype=np.uint8) \
             if isinstance(data, np.ndarray) \
             else np.frombuffer(bytes(data), dtype=np.uint8)
 
