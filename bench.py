@@ -32,7 +32,10 @@ DEVICE_TIMEOUT = 480
 
 
 def _measure(compress, data):
-    compress(data)  # warmup (compiles)
+    # bytes() forces materialization: if a device path ever returns a
+    # lazily-realized result, the warmup must still absorb compile and
+    # dispatch work (block_until_ready does not wait over the tunnel)
+    bytes(compress(data))  # warmup (compiles)
     runs = [_timed(compress, data) for _ in range(3)]
     elapsed = min(t for t, _ in runs)
     comp = bytes(runs[-1][1])  # reuse the last timed run's output

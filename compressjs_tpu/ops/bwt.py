@@ -242,6 +242,9 @@ def inverse_bwt_cyclic(U, n, pidx):
     the byteCount/LF chain in Bzip2.js:369-394).  Returns the original
     block as uint8."""
     U = np.asarray(U)[:n]
+    if _use_native(n) and n > 4096:
+        return _native.inverse_bwt(np.ascontiguousarray(U, dtype=np.uint8),
+                                   int(pidx))
     occ = _exclusive_running_count(U)
     counts = np.bincount(U, minlength=256)
     C = np.concatenate(([0], np.cumsum(counts)))[:256]

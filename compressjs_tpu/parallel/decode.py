@@ -29,6 +29,8 @@ from ..utils.stream import coerce_output_stream
 
 _MAGIC_BITS = np.array([0x31, 0x41, 0x59, 0x26, 0x53, 0x59],
                        dtype=np.uint8)
+_END_MAGIC_BITS = np.array([0x17, 0x72, 0x45, 0x38, 0x50, 0x90],
+                           dtype=np.uint8)
 
 
 def _scan_magic(data, pattern):
@@ -123,6 +125,23 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
     first_block_pos = r.tell_bit()
     candidates = [int(p) for p in block_index(data) if p >= first_block_pos]
     if not candidates or candidates[0] != first_block_pos:
+        return bz.decompress_file(data, output, _sequential=True)
+    # Resource bound: the sequential decoder never reads past the
+    # end-of-stream magic, so neither should the candidate scan — a
+    # crafted tail of decodable blocks appended after the end magic
+    # would otherwise be fully decoded and discarded (~9x CPU/memory
+    # amplification per appended block).  Candidates at or beyond the
+    # first end-magic occurrence are dropped before any decoding; a
+    # false-positive end magic inside a payload (p ~ bits * 2^-48) only
+    # breaks the chain check below, which falls back to the sequential
+    # decoder.
+    end_hits = _scan_magic(data, _END_MAGIC_BITS)
+    end_hits = end_hits[end_hits >= first_block_pos]
+    if end_hits.size == 0:
+        return bz.decompress_file(data, output, _sequential=True)
+    end_bound = int(end_hits[0])
+    candidates = [p for p in candidates if p < end_bound]
+    if not candidates:
         return bz.decompress_file(data, output, _sequential=True)
 
     # oversubscribe the thread pool: the native LF walk is memory-

@@ -31,6 +31,31 @@ def make_mesh(devices=None, axis='dp'):
     return Mesh(np.array(devices), (axis,))
 
 
+def _pad_block(n):
+    """Pad-lane filler block whose outputs are discarded.  Deterministic
+    PRNG bytes make every 8-byte context distinct with overwhelming
+    probability, so the lane's prefix-doubling while_loop exits after the
+    seed round — a pad lane costs one sort instead of recomputing a real
+    block (the round-1 duplicate-block padding)."""
+    return np.random.default_rng(0x42).integers(
+        0, 256, size=n, dtype=np.uint8)
+
+
+def _ring_order(n_blocks, n_dev):
+    """Round-robin block->device assignment (block i on device i mod d).
+
+    shard_map shards the leading axis contiguously, so the permutation
+    places blocks {d, d+n_dev, ...} in device d's slice.  Interleaving
+    decorrelates per-block sort difficulty (file regions cluster repeat
+    structure) across devices when blocks >> chips, balancing the
+    per-device vmapped while_loop depth.  Returns (perm, inv_perm)."""
+    perm = np.concatenate([np.arange(d, n_blocks, n_dev)
+                           for d in range(n_dev)])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n_blocks)
+    return perm, inv
+
+
 def sharded_block_encode(mesh, blocks, remaps, eobs):
     """Encode B equal-length blocks sharded over the mesh's 'dp' axis.
 
@@ -81,20 +106,23 @@ def mesh_compress_bzip2(mesh, data, level=9):
             if b.shape[0] == block_size]
     results = {}
     if full:
-        # pad the full-block list to a multiple of the mesh size with
-        # repeats (their outputs are discarded)
+        # pad the full-block list to a multiple of the mesh size with a
+        # cheap filler block (outputs discarded, sort exits after the
+        # seed round), then ring-rotate blocks across devices for load
+        # balance when blocks >> chips
         idxs = [i for i, _, _ in full]
         raw = [b for _, b, _ in full]
         while len(raw) % n_dev:
-            raw.append(raw[-1])
-        braw, remaps, eobs = prepare_blocks(raw)
+            raw.append(_pad_block(block_size))
+        perm, inv = _ring_order(len(raw), n_dev)
+        braw, remaps, eobs = prepare_blocks([raw[p] for p in perm])
         pidx, syms, count, freq, _ = sharded_block_encode(
             mesh, jnp.asarray(braw), jnp.asarray(remaps),
             jnp.asarray(eobs))
-        pidx = np.asarray(pidx)
-        syms = np.asarray(syms)
-        count = np.asarray(count)
-        freq = np.asarray(freq)
+        pidx = np.asarray(pidx)[inv]
+        syms = np.asarray(syms)[inv]
+        count = np.asarray(count)[inv]
+        freq = np.asarray(freq)[inv]
         for k, i in enumerate(idxs):
             results[i] = (int(pidx[k]), syms[k], int(count[k]), freq[k])
 
@@ -202,10 +230,12 @@ def mesh_compress_bwtcp(mesh, data, level=9):
         raw = [data[i * bs:(i + 1) * bs] for i in range(n_full)]
         n_dev = mesh.devices.size
         while len(raw) % n_dev:
-            raw.append(raw[-1])
-        U_all, pidx_all = sharded_bwt_eof(mesh, jnp.asarray(np.stack(raw)))
-        U_all = np.asarray(U_all)
-        pidx_all = np.asarray(pidx_all)
+            raw.append(_pad_block(bs))
+        perm, inv = _ring_order(len(raw), n_dev)
+        U_all, pidx_all = sharded_bwt_eof(
+            mesh, jnp.asarray(np.stack([raw[p] for p in perm])))
+        U_all = np.asarray(U_all)[inv]
+        pidx_all = np.asarray(pidx_all)[inv]
         for i in range(n_full):
             pre[i] = (U_all[i], int(pidx_all[i]))
 
