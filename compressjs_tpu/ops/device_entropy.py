@@ -1,0 +1,474 @@
+"""Device (XLA) build of the bzip2 static-Huffman entropy stages.
+
+Byte-identical counterpart of ops.huffman_stages (the host/native build)
+running entirely on device, so a block's symbols never leave HBM between
+the RLE2 output and the packed Huffman payload: the host only downloads
+the payload bytes plus the tiny (selectors, length tables, pidx, counts)
+matrices it needs to write headers.
+
+Pieces:
+* `alloc_lengths_dev` — exact lax port of the in-place length-limited
+  allocator (coders.huffman_allocator, reference HuffmanAllocator.js:52-222):
+  sequential phases become fori/while loops over a static 260-slot buffer
+  with a traced logical length, vmapped over the <=6 group tables.
+* `code_lengths_from_freqs_dev` / `canonical_codes_dev` — the
+  (freq<<9|sym) sort trick and the closed-form canonical code assignment
+  (code_i = exclusive-sum of 2^(20-l_j), shifted), matching
+  huffman_stages.code_lengths_from_freqs / canonical_codes.
+* `chunk_hist_dev` — per-50-symbol-chunk histograms; every later cost /
+  frequency reduction is then a tiny (chunks x 260) @ (260 x 6) matmul
+  (exact: integer-valued f32 with HIGHEST precision, all values < 2^24).
+* `optimize_groups_dev` — the reference greedy split + Lloyd refinement
+  (huffman_stages.optimize_groups, reference Bzip2.js:685-733) with the
+  same tie-breaking, so outputs are byte-identical to the host encoder.
+
+All arrays are fixed shape: G=6 group slots (inactive groups carry +inf
+cost), 260-symbol alphabet buffers masked by the traced alphabet size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+N = 260            # static alphabet buffer (bzip2 max 258 + slack)
+MAX_LEN = 20       # MAX_HUFCODE_BITS
+G = 6              # MAX_GROUPS
+GROUP_SIZE = 50
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# length-limited allocator (exact port; array is the static N buffer,
+# m the traced logical length)
+
+def _first_dev(array, i, nodes_to_move, m):
+    """Port of huffman_allocator._first: smallest k with
+    nodes_to_move <= k <= i and i <= array[k] % m."""
+    limit = i
+    k = m - 2
+
+    def c1(st):
+        i, k = st
+        return (i >= nodes_to_move) & \
+            (array[jnp.clip(i, 0, N - 1)] % m > limit)
+
+    def b1(st):
+        i, k = st
+        return i - (limit - i + 1), i
+
+    i, k = lax.while_loop(c1, b1, (i, k))
+    i = jnp.maximum(nodes_to_move - 1, i)
+
+    def c2(st):
+        i, k = st
+        return k > i + 1
+
+    def b2(st):
+        i, k = st
+        mid = (i + k) >> 1
+        pred = array[jnp.clip(mid, 0, N - 1)] % m > limit
+        return jnp.where(pred, i, mid), jnp.where(pred, mid, k)
+
+    i, k = lax.while_loop(c2, b2, (i, k))
+    return k
+
+
+def _set_extended_parent_pointers_dev(array, m):
+    array = array.at[0].add(array[1])
+
+    def step(carry, tail):
+        array, head, top = carry
+        active = tail < m - 1
+        topc = jnp.clip(top, 0, N - 1)
+        c1 = (top >= m) | (array[head] < array[topc])
+        total = jnp.where(c1, array[head], array[topc])
+        array = array.at[head].set(
+            jnp.where(c1 & active, tail, array[head]))
+        head1 = head + jnp.where(c1, 1, 0)
+        top1 = top + jnp.where(c1, 0, 1)
+        top1c = jnp.clip(top1, 0, N - 1)
+        c2 = (top1 >= m) | ((head1 < tail) &
+                            (array[head1] < array[top1c]))
+        total = total + jnp.where(c2, array[head1], array[top1c])
+        array = array.at[head1].set(
+            jnp.where(c2 & active, tail + m, array[head1]))
+        head2 = head1 + jnp.where(c2, 1, 0)
+        top2 = top1 + jnp.where(c2, 0, 1)
+        array = array.at[tail].set(
+            jnp.where(active, total, array[tail]))
+        head2 = jnp.where(active, head2, head)
+        top2 = jnp.where(active, top2, top)
+        return (array, head2, top2), None
+
+    (array, _, _), _ = lax.scan(
+        step, (array, jnp.int32(0), jnp.int32(2)),
+        jnp.arange(1, N - 1, dtype=jnp.int32))
+    return array
+
+
+def _find_nodes_to_relocate_dev(array, m, maximum_length):
+    def cond(st):
+        node, depth = st
+        return (depth < maximum_length - 1) & (node > 1)
+
+    def body(st):
+        node, depth = st
+        return _first_dev(array, node - 1, jnp.int32(0), m), depth + 1
+
+    node, _ = lax.while_loop(
+        cond, body, (m - 2, jnp.int32(1)))
+    return node
+
+
+def _fill_down(array, next_node, cnt, depth):
+    """array[next_node-cnt+1 .. next_node] = depth (masked write)."""
+    iota = jnp.arange(N, dtype=jnp.int32)
+    mask = (iota <= next_node) & (iota > next_node - cnt)
+    return jnp.where(mask, depth, array), next_node - cnt
+
+
+def _allocate_node_lengths_dev(array, m):
+    def cond(st):
+        array, first_node, next_node, depth, available = st
+        return available > 0
+
+    def body(st):
+        array, first_node, next_node, depth, available = st
+        last_node = first_node
+        first_node = _first_dev(array, last_node - 1, jnp.int32(0), m)
+        cnt = available - (last_node - first_node)
+        array, next_node = _fill_down(array, next_node, cnt, depth)
+        return (array, first_node, next_node, depth + 1,
+                (last_node - first_node) << 1)
+
+    array, _, _, _, _ = lax.while_loop(
+        cond, body,
+        (array, m - 2, m - 1, jnp.int32(1), jnp.int32(2)))
+    return array
+
+
+def _allocate_with_relocation_dev(array, m, nodes_to_move, insert_depth):
+    depth0 = jnp.where(insert_depth == 1, 2, 1)
+    ltm0 = jnp.where(insert_depth == 1, nodes_to_move - 2, nodes_to_move)
+
+    def cond(st):
+        array, first_node, next_node, depth, available, ltm = st
+        return available > 0
+
+    def body(st):
+        array, first_node, next_node, depth, available, ltm = st
+        last_node = first_node
+        searched = _first_dev(array, last_node - 1, nodes_to_move, m)
+        first_node = jnp.where(first_node <= nodes_to_move,
+                               first_node, searched)
+        shift = jnp.clip(depth - insert_depth, 0, 30)
+        off_ge = jnp.minimum(ltm, jnp.int32(1) << shift)
+        offset = jnp.where(depth >= insert_depth, off_ge,
+                           jnp.where(depth == insert_depth - 1, 1, 0))
+        bump = (depth == insert_depth - 1) & \
+            (array[jnp.clip(first_node, 0, N - 1)] == last_node)
+        first_node = first_node + jnp.where(bump, 1, 0)
+        cnt = available - (last_node - first_node + offset)
+        array, next_node = _fill_down(array, next_node, cnt, depth)
+        ltm = ltm - offset
+        available = (last_node - first_node + offset) << 1
+        return array, first_node, next_node, depth + 1, available, ltm
+
+    array, _, _, _, _, _ = lax.while_loop(
+        cond, body,
+        (array, m - 2, m - 1, depth0.astype(jnp.int32),
+         (depth0 << 1).astype(jnp.int32), ltm0.astype(jnp.int32)))
+    return array
+
+
+def _bit_length(x):
+    return jnp.where(x > 0, 32 - lax.clz(jnp.maximum(x, 1)), 0)
+
+
+def alloc_lengths_dev(array, m, maximum_length=MAX_LEN):
+    """Exact device port of allocate_huffman_code_lengths: `array` is a
+    static N-buffer whose first m slots hold sorted frequencies; returns
+    the buffer with those slots replaced by code lengths."""
+    iota = jnp.arange(N, dtype=jnp.int32)
+
+    def small(array):
+        return jnp.where(iota < m, 1, array)
+
+    def full(array):
+        array = _set_extended_parent_pointers_dev(array, m)
+        ntr = _find_nodes_to_relocate_dev(array, m, maximum_length)
+        insert_depth = maximum_length - _bit_length(ntr - 1)
+        return lax.cond(
+            array[0] % m >= ntr,
+            lambda a: _allocate_node_lengths_dev(a, m),
+            lambda a: _allocate_with_relocation_dev(a, m, ntr,
+                                                    insert_depth),
+            array)
+
+    return lax.cond(m <= 2, small, full, array)
+
+
+def code_lengths_from_freqs_dev(freq, m):
+    """Device build of huffman_stages.code_lengths_from_freqs: sort
+    (freq<<9|sym), allocate in place, invert the sort.  freq: (N,) i32
+    buffer; returns (N,) i32 lengths by symbol (zeros past m)."""
+    sym = jnp.arange(N, dtype=jnp.int32)
+    merged = jnp.where(sym < m, (freq << 9) | sym, jnp.int32(0x7FFFFFFF))
+    merged = lax.sort(merged)
+    arr = jnp.where(sym < m, merged >> 9, 0)
+    arr = alloc_lengths_dev(arr, m)
+    lengths = jnp.zeros(N, dtype=jnp.int32)
+    lengths = lengths.at[jnp.where(sym < m, merged & 0x1FF, N)].set(
+        jnp.where(sym < m, arr, 0), mode='drop')
+    return lengths
+
+
+def canonical_codes_dev(lengths, m):
+    """Canonical code assignment sorted by (length, symbol) — closed
+    form: code_i = (exclusive-sum of 2^(MAX_LEN - l_j)) >> (MAX_LEN -
+    l_i).  Matches huffman_stages.canonical_codes."""
+    sym = jnp.arange(N, dtype=jnp.int32)
+    merged = jnp.where(sym < m, (lengths << 9) | sym,
+                       jnp.int32(0x7FFFFFFF))
+    merged = lax.sort(merged)
+    lens_sorted = jnp.where(sym < m, merged >> 9, 0)
+    weights = jnp.where(sym < m, jnp.int32(1) << (MAX_LEN - lens_sorted),
+                        0)
+    prefix = jnp.cumsum(weights) - weights   # exclusive
+    codes_sorted = prefix >> (MAX_LEN - lens_sorted)
+    codes = jnp.zeros(N, dtype=jnp.int32)
+    codes = codes.at[jnp.where(sym < m, merged & 0x1FF, N)].set(
+        jnp.where(sym < m, codes_sorted, 0), mode='drop')
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# group optimization on chunk histograms
+
+def chunk_hist_dev(syms, count, n_chunks):
+    """(n_chunks, N) int32 histogram of each 50-symbol chunk (symbols at
+    index >= count are excluded)."""
+    n = syms.shape[0]
+    syms = syms.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+    chunk = idx // GROUP_SIZE
+    hist = jnp.zeros((n_chunks, N), dtype=jnp.int32)
+    hist = hist.at[jnp.where(valid, chunk, n_chunks),
+                   jnp.where(valid, syms, 0)].add(1, mode='drop')
+    return hist
+
+
+def _costs_from_hist(hist_f, lens, active):
+    """(n_chunks, G) i32 bit costs; inactive groups get +inf."""
+    c = jax.lax.dot_general(hist_f, lens.astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            precision=_HIGH)
+    c = c.astype(jnp.int32)
+    return jnp.where(active[None, :], c, jnp.int32(0x3FFFFFFF))
+
+
+def _freqs_by_group(hist_f, selectors, valid_chunk):
+    """(G, N) i32 per-group symbol frequencies via one-hot matmul."""
+    onehot = (selectors[:, None] == jnp.arange(G)[None, :]) & \
+        valid_chunk[:, None]
+    f = jax.lax.dot_general(onehot.astype(jnp.float32), hist_f,
+                            (((0,), (0,)), ((), ())),
+                            precision=_HIGH)
+    return f.astype(jnp.int32)
+
+
+def _rank_stable(keys, n):
+    """Stable ascending rank of each element (ties by index)."""
+    order = jnp.argsort(keys, stable=True)
+    ranks = jnp.zeros(n, dtype=jnp.int32)
+    return ranks.at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def optimize_groups_dev(syms, count, n_chunks, freq, m):
+    """Device build of huffman_stages.optimize_groups: returns
+    (length_matrix (G, N) i32, n_groups i32, selectors (n_chunks,) i32,
+    code_matrix (G, N) i32).  Rows >= n_groups are inactive.
+
+    syms: (n_syms,) symbol stream (padded); count: valid symbols;
+    n_chunks: static chunk capacity (= ceil(len(syms)/50)); freq: (>=N,)
+    global frequency; m: alphabet size (traced, = eob+1)."""
+    hist = chunk_hist_dev(syms, count, n_chunks)
+    hist_f = hist.astype(jnp.float32)
+    chunk_idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    nvc = (count + GROUP_SIZE - 1) // GROUP_SIZE
+    valid_chunk = chunk_idx < nvc
+
+    target = (2 + (count >= 200).astype(jnp.int32)
+              + (count >= 600).astype(jnp.int32)
+              + (count >= 1200).astype(jnp.int32)
+              + (count >= 2400).astype(jnp.int32))
+
+    freq = freq.astype(jnp.int32)
+    if freq.shape[0] >= N:
+        fbuf = freq[:N]
+    else:
+        fbuf = jnp.pad(freq, (0, N - freq.shape[0]))
+    # zero out entries past the alphabet (they must not affect tables)
+    fbuf = jnp.where(jnp.arange(N) < m, fbuf, 0)
+    ones = jnp.ones(N, dtype=jnp.int32)
+    row0 = code_lengths_from_freqs_dev(fbuf, m)
+    row1 = code_lengths_from_freqs_dev(ones, m)
+    lens = jnp.stack([row0, row1] + [row1] * (G - 2))
+
+    def split_iter(i, carry):
+        lens, g = carry
+
+        def do_split(args):
+            lens, g = args
+            active = jnp.arange(G) < g
+            costs = _costs_from_hist(hist_f, lens, active)
+            sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            counts = jnp.sum(
+                ((sel[:, None] == jnp.arange(G)[None, :]) &
+                 valid_chunk[:, None]).astype(jnp.int32), axis=0)
+            counts = jnp.where(active, counts, -1)
+            which = jnp.argmax(counts).astype(jnp.int32)
+            member = (sel == which) & valid_chunk
+            mcount = jnp.sum(member.astype(jnp.int32))
+            wcosts = jnp.take_along_axis(
+                costs, jnp.full((n_chunks, 1), which), axis=1)[:, 0]
+            keys = jnp.where(member, wcosts, jnp.int32(0x7FFFFFFF))
+            rank = _rank_stable(keys, n_chunks)
+            sel = jnp.where(member & (rank >= (mcount >> 1)), g, sel)
+            freqs = _freqs_by_group(hist_f, sel, valid_chunk)
+            new_lens = jax.vmap(
+                lambda f: code_lengths_from_freqs_dev(f, m))(freqs)
+            keep = jnp.arange(G) <= g
+            lens = jnp.where(keep[:, None], new_lens, lens)
+            return lens, g + 1
+
+        return lax.cond(g < target, do_split, lambda a: a, (lens, g))
+
+    lens, g = lax.fori_loop(0, G - 2, split_iter, (lens, jnp.int32(2)))
+
+    active = jnp.arange(G) < g
+    costs = _costs_from_hist(hist_f, lens, active)
+    sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+
+    # Lloyd refinement with the host's early break (huffman_stages
+    # optimize_groups tail): iterate while total cost strictly improves,
+    # at most 4 rounds; empty groups keep their previous table.
+    def lloyd_cond(st):
+        lens, sel, prev_cost, i, go = st
+        return (i < 4) & go
+
+    def lloyd_body(st):
+        lens, sel, prev_cost, i, go = st
+        freqs = _freqs_by_group(hist_f, sel, valid_chunk)
+        gcounts = jnp.sum(
+            ((sel[:, None] == jnp.arange(G)[None, :]) &
+             valid_chunk[:, None]).astype(jnp.int32), axis=0)
+        new_lens = jax.vmap(
+            lambda f: code_lengths_from_freqs_dev(f, m))(freqs)
+        lens = jnp.where((active & (gcounts > 0))[:, None],
+                         new_lens, lens)
+        costs = _costs_from_hist(hist_f, lens, active)
+        sel = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        chosen = jnp.take_along_axis(costs, sel[:, None], axis=1)[:, 0]
+        cost = jnp.sum(jnp.where(valid_chunk, chosen, 0))
+        return lens, sel, cost, i + 1, cost < prev_cost
+
+    lens, sel, _, _, _ = lax.while_loop(
+        lloyd_cond, lloyd_body,
+        (lens, sel, jnp.int32(0x7FFFFFFF), jnp.int32(0), jnp.bool_(True)))
+
+    codes = jax.vmap(lambda l: canonical_codes_dev(l, m))(lens)
+    return lens, g, sel, codes
+
+
+# ---------------------------------------------------------------------------
+# payload packing
+
+def payload_cap_bytes(n):
+    """Static payload buffer bound for an n-byte block: 1.5n + slack,
+    rounded to a word multiple.  Real bzip2 payloads are ~0.3n for text
+    and ~1.06n for incompressible data; a block exceeding this cap is
+    reported via total_bits and must take the host path."""
+    return (n + (n >> 1) + 2048 + 3) & ~3
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def payload_pack_words_dev(syms, count, selectors, lens, codes, cap_bytes):
+    """Huffman payload as packed big-endian bytes, scatter-add build.
+
+    Each code (<= 20 bits) lands in at most two consecutive u32 words;
+    every output bit belongs to exactly one symbol, so the two per-symbol
+    word contributions can be scatter-ADDed (add == OR on disjoint bit
+    ranges) — no (n x 20) bit materialization.  Returns
+    (bytes u8[cap_bytes], total_bits).  The u64 word math of the host
+    build (huffman_stages.payload_bytes) is split into explicit hi/lo
+    u32 halves because x64 is disabled under jit."""
+    n = syms.shape[0]
+    syms = syms.astype(jnp.int32)
+    valid = jnp.arange(n, dtype=jnp.int32) < count
+    chunk_of_sym = jnp.arange(n, dtype=jnp.int32) // GROUP_SIZE
+    sel = selectors[chunk_of_sym]
+    # one packed gather: (len << 20) | code   (len <= 20, code < 2^20)
+    packed_tbl = (lens << 20) | codes                      # (G, N)
+    pv = packed_tbl[sel, syms]
+    ln = jnp.where(valid, pv >> 20, 0)
+    cd = jnp.where(valid, pv & 0xFFFFF, 0).astype(jnp.uint32)
+    offsets = jnp.cumsum(ln) - ln
+    total = jnp.sum(ln)
+    wi = (offsets >> 5).astype(jnp.int32)
+    bo = (offsets & 31).astype(jnp.int32)
+    # aligned u64 value = code << (64 - bo - ln), split into hi/lo words
+    sh_hi = 32 - bo - ln    # [-19, 31] for valid lanes (ln >= 1);
+    # invalid lanes have cd == 0, so the clamped shift is harmless
+    hi = jnp.where(sh_hi >= 0,
+                   cd << jnp.clip(sh_hi, 0, 31).astype(jnp.uint32),
+                   cd >> jnp.clip(-sh_hi, 0, 31).astype(jnp.uint32))
+    spill = (bo + ln) > 32
+    sh_lo = jnp.clip(64 - bo - ln, 0, 31).astype(jnp.uint32)
+    lo = jnp.where(spill, cd << sh_lo, jnp.uint32(0))
+    nwords = cap_bytes // 4
+    words = jnp.zeros(nwords, dtype=jnp.uint32)
+    wi_safe = jnp.where(valid & (ln > 0), wi, nwords)
+    words = words.at[wi_safe].add(hi, mode='drop')
+    words = words.at[wi_safe + 1].add(lo, mode='drop')
+    # big-endian byte split
+    b = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
+                   (words >> 8) & 0xFF, words & 0xFF],
+                  axis=1).astype(jnp.uint8)
+    return b.reshape(-1), total
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+def encode_block_full(block, n, remap, eob, width=256, mtf_impl='xla'):
+    """All-device bzip2 block encode: rotation sort -> BWT -> MTF ->
+    RLE2 -> group optimization -> canonical tables -> packed payload.
+    The host downloads only (pidx, payload prefix, lens, n_groups,
+    selectors, count) — a block's symbols never leave HBM.
+
+    Returns (pidx, payload_bytes, total_bits, lens (G,N), n_groups,
+    selectors, count, freq)."""
+    from . import jax_kernels as jk
+    order = jk.cyclic_suffix_sort(block, n)
+    U = block[:n][(order - 1) % n]
+    pidx = jnp.argmax(order == 0).astype(jnp.int32)
+    dense = remap[U.astype(jnp.int32)]
+    if mtf_impl == 'pallas':
+        from . import pallas_kernels as pk
+        mtf_seq = pk.mtf_encode_pallas(dense, n, 512, width,
+                                       interpret=False)
+    else:
+        mtf_seq = jk.mtf_encode(dense, n, 512, width)
+    syms, count, freq = jk.rle2_encode(mtf_seq, n, eob)
+    n_chunks = -(-(n + 1) // GROUP_SIZE)
+    lens, g, sel, codes = optimize_groups_dev(
+        syms, count, n_chunks, freq, eob + 1)
+    payload, total_bits = payload_pack_words_dev(
+        syms, count, sel, lens, codes, payload_cap_bytes(n))
+    return pidx, payload, total_bits, lens, g, sel, count, freq

@@ -36,32 +36,68 @@ from jax import lax
 # ---------------------------------------------------------------------------
 # suffix sort (cyclic, for bzip2)
 
-def _prefix_double(rank0, idx, n, rank2_of, k0):
-    """Shared prefix-doubling loop: refine ranks by sorting
-    (rank, rank2_of(rank, k)) pairs until all ranks are distinct (early
-    exit) or k reaches n.  rank2_of supplies the variant semantics
-    (cyclic wrap vs EOF padding); k0 is the context length the seed
-    ranks already encode."""
+# --- quad prefix doubling: each round sorts (rank, rank@k, rank@2k,
+# rank@3k), extending the context 4x.  Measured on v5e (900 KB block): a
+# 5-array 4-key sort costs only ~25% more than the 3-array 2-key sort,
+# so quad rounds cut total sort count ~40% (91.8 ms -> 71.5 ms); a
+# compacted Larsson-Sadakane tail phase was tried and REJECTED — at
+# 100-150 K tied elements its per-round random gathers + scatter cost
+# as much as a full quad sort round, and it ballooned XLA compile time.
+# Ranks use GROUP-START semantics (rank = first index of the group in
+# sorted order); when the loop exits with all groups singleton, the
+# last round's sort order IS the final suffix order, so no final sort
+# is needed on the common path.
+
+def _seg_start(diff, n):
+    """Index of the current segment's first element, per sorted slot."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return lax.associative_scan(jnp.maximum, jnp.where(diff, pos, 0))
+
+
+def _tied_count(diff, n):
+    """Number of elements in groups of size > 1 given sorted diff flags."""
+    nxt = jnp.concatenate([diff[1:], jnp.ones(1, dtype=jnp.bool_)])
+    singleton = diff & nxt
+    return n - jnp.sum(singleton.astype(jnp.int32))
+
+
+def _seed_ranks_start4(k1, k2, k3, k4, idx, n):
+    """Seed (rank, order, tied) from four sort keys (group-start
+    semantics)."""
+    s1, s2, s3, s4, order0 = lax.sort((k1, k2, k3, k4, idx), num_keys=4)
+    diff = jnp.ones(n, dtype=jnp.bool_)
+    diff = diff.at[1:].set((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) |
+                           (s3[1:] != s3[:-1]) | (s4[1:] != s4[:-1]))
+    start = _seg_start(diff, n)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order0].set(start)
+    return rank, order0, _tied_count(diff, n)
+
+
+def _quad_double(rank0, order0, tied0, idx, n, k0, shift_fn):
+    """Quad doubling rounds until all ranks are distinct (or k >= n for
+    pathological periodic input).  Returns (rank, order, tied): when
+    tied == 0, `order` is the final sorted order."""
 
     def cond(state):
-        rank, k, maxrank = state
-        return (maxrank < n - 1) & (k < n)
+        rank, order, k, tied = state
+        return (tied > 0) & (k < n)
 
     def body(state):
-        rank, k, _ = state
-        rank2 = rank2_of(rank, k)
-        s1, s2, order = lax.sort((rank, rank2, idx), num_keys=2)
-        diff = jnp.ones(n, dtype=jnp.int32)
-        diff = diff.at[1:].set(
-            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
-        csum = jnp.cumsum(diff)
-        new_rank = jnp.zeros(n, dtype=jnp.int32)
-        new_rank = new_rank.at[order].set(csum - 1)
-        return new_rank, k * 2, csum[-1] - 1
+        rank, order, k, _ = state
+        r2 = shift_fn(rank, k)
+        r3 = shift_fn(rank, 2 * k)
+        r4 = shift_fn(rank, 3 * k)
+        s1, s2, s3, s4, order = lax.sort((rank, r2, r3, r4, idx),
+                                         num_keys=4)
+        diff = jnp.ones(n, dtype=jnp.bool_)
+        diff = diff.at[1:].set((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) |
+                               (s3[1:] != s3[:-1]) | (s4[1:] != s4[:-1]))
+        start = _seg_start(diff, n)
+        new_rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(start)
+        return new_rank, order, k * 4, _tied_count(diff, n)
 
-    rank, _, _ = lax.while_loop(
-        cond, body, (rank0, jnp.int32(k0), jnp.max(rank0)))
-    return rank
+    return lax.while_loop(cond, body, (rank0, order0, jnp.int32(k0),
+                                       tied0))
 
 
 def pack_cyclic_seed_keys(bu):
@@ -93,28 +129,36 @@ def cyclic_suffix_sort(block, n):
     descending index (matching the doubled-string construction the
     reference uses, BWT.js:372-417).
 
-    Prefix doubling with data-dependent early exit: real data resolves all
-    ranks after ~log2(max repeat length) rounds, far below the log2(n)
-    worst case, so the doubling runs in a lax.while_loop that stops once
-    ranks are unique.  Ranks are seeded from EIGHT bytes of context (two
-    packed uint32 sort keys), saving two full doubling rounds over a
-    digram seed.
+    Quad prefix doubling with data-dependent early exit: real data
+    resolves all ranks after ~log4(max repeat length) rounds.  Ranks are
+    seeded from SIXTEEN bytes of context (four packed uint32 sort keys);
+    the loop exits as soon as all groups are singletons, at which point
+    the last round's sort order is already the answer — the final
+    tie-break sort only runs for pathological periodic blocks.
 
-    Negative result (measured, v5e): 'discarding' prefix doubling (sort
-    only still-tied positions through compacted n/4..n/64 buffers) was
-    neutral on text and 1.8x SLOWER on run-structured data — the tied
-    set only collapses below n/4 around the round where dense rounds
-    finish anyway, so the gather/compact/scatter machinery never pays
-    for itself at 900 KB block scale.  Keep the rounds dense."""
+    Negative results (measured, v5e): (a) 'discarding' prefix doubling
+    (sort only still-tied positions through compacted buffers) loses —
+    at the 100-150 K tied-element scale where it would kick in, random
+    gathers + scatter per compact round cost as much as a full dense
+    quad round; (b) doubling (2-key) rounds lose to quad rounds 91.8 ms
+    vs 71.5 ms on the 900 KB sample5 block."""
     bu = block[:n].astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    hi, lo = pack_cyclic_seed_keys(bu)
-    rank0 = _seed_ranks(hi, lo, idx, n)
-    rank = _prefix_double(rank0, idx, n,
-                          lambda rank, k: jnp.roll(rank, -k), 8)
-    # final order: (rank asc, index desc) — resolves periodic ties
-    _, _, order = lax.sort((rank, -idx, idx), num_keys=2)
-    return order
+
+    def word(d):
+        return ((jnp.roll(bu, -d) << 24) | (jnp.roll(bu, -(d + 1)) << 16) |
+                (jnp.roll(bu, -(d + 2)) << 8) | jnp.roll(bu, -(d + 3)))
+
+    rank, order, tied = _seed_ranks_start4(
+        word(0), word(4), word(8), word(12), idx, n)
+    rank, order, _, tied = _quad_double(
+        rank, order, tied, idx, n, 16,
+        lambda r, d: jnp.roll(r, -d))
+    # periodic blocks exit with ties: break by (rank asc, index desc)
+    return lax.cond(
+        tied > 0,
+        lambda a: lax.sort((a[0], -idx, idx), num_keys=2)[2],
+        lambda a: a[1], (rank, order))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -122,19 +166,18 @@ def eof_suffix_sort(block, n):
     """EOF-terminated suffix array of block[:n]: a virtual sentinel
     smaller than every byte terminates the string, so shorter suffixes
     that are prefixes sort first (the semantics BWTC's bwtransform needs).
-    Same early-exit prefix doubling as the cyclic variant, with -1 rank
-    padding past the end instead of cyclic wrap.  Ranks are seeded from
-    SIX bytes of context: three 9-bit fields per int32 key (byte+1, with
-    0 as the sentinel), saving ~1.5 doubling rounds over a digram seed.
+    Same early-exit quad prefix doubling as the cyclic variant, with -1
+    rank padding past the end instead of cyclic wrap.  Ranks are seeded
+    from TWELVE bytes of context: three 9-bit fields per int32 key
+    (byte+1, with 0 as the sentinel).
 
     The explicit sentinel field is LOAD-BEARING: seeding from raw
-    0-padded bytes (8 per key pair) is wrong — a suffix shorter than k0
-    ties with a longer one whose next real bytes are 0, and the
-    doubling cannot fix it later because k only visits k0*2^t, which
-    can skip the window [n-j, n-i) where the -1 rank padding would
-    separate positions i < j (differential-tested failure: all-zero
-    input).  The seed must already order truncated-to-k0 suffixes with
-    shorter-is-prefix-first semantics."""
+    0-padded bytes is wrong — a suffix shorter than k0 ties with a
+    longer one whose next real bytes are 0, and the doubling cannot fix
+    it later because k only visits k0*4^t, which can skip the window
+    where the -1 rank padding would separate positions (differential-
+    tested failure: all-zero input).  The seed must already order
+    truncated-to-k0 suffixes with shorter-is-prefix-first semantics."""
     b32 = block[:n].astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     b1 = b32 + 1  # 1..256; 0 is the virtual sentinel
@@ -142,14 +185,21 @@ def eof_suffix_sort(block, n):
     def at(d):
         return jnp.where(idx < n - d, jnp.roll(b1, -d), 0)
 
-    hi = (b1 << 18) | (at(1) << 9) | at(2)
-    lo = (at(3) << 18) | (at(4) << 9) | at(5)
-    rank0 = _seed_ranks(hi, lo, idx, n)
-    rank = _prefix_double(
-        rank0, idx, n,
-        lambda rank, k: jnp.where(idx < n - k, jnp.roll(rank, -k), -1), 6)
-    order = jnp.argsort(rank)  # ranks are a permutation here
-    return order
+    def key(d):
+        return (at(d) << 18) | (at(d + 1) << 9) | at(d + 2)
+
+    rank, order, tied = _seed_ranks_start4(
+        key(0), key(3), key(6), key(9), idx, n)
+    rank, order, _, tied = _quad_double(
+        rank, order, tied, idx, n, 12,
+        lambda r, d: jnp.where(idx < n - d, jnp.roll(r, -d), -1))
+    # EOF suffixes always resolve (distinct lengths), but keep the
+    # stable-tie fallback for safety; ranks are a permutation when
+    # tied == 0, so `order` is the suffix array directly
+    return lax.cond(
+        tied > 0,
+        lambda a: jnp.argsort(a[0]),
+        lambda a: a[1], (rank, order))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -249,33 +299,40 @@ def bwt_block_batch(blocks, n):
 def _chunk_start_positions(chunks, n_chunks, chunk_len, width=256):
     """Start-state symbol positions for every chunk.
 
-    After a chunk is processed, the MTF list is (chunk's distinct symbols,
-    most-recent first) followed by the prior list's remaining symbols in
-    order.  That merge is computed per chunk from last-occurrence indices,
-    then folded left-to-right with a small scan over chunks."""
-    # last occurrence of each symbol within each chunk (-1 if absent)
+    The MTF list before chunk t is all symbols ordered by the global
+    position of their most recent occurrence in chunks[0:t] (most recent
+    first), with never-seen symbols keeping identity order — modeled as
+    virtual occurrences at -(c+1).  So start states fall out of an
+    exclusive max-scan of per-chunk last-occurrence vectors (elementwise,
+    fully parallel over chunks) plus one batched rank-within-row sort —
+    no sequential per-chunk merge."""
+    # last occurrence of each symbol within each chunk, global coords
+    # (-1 if absent)
     pos_in_chunk = jnp.broadcast_to(
         jnp.arange(chunk_len, dtype=jnp.int32), (n_chunks, chunk_len))
+    gpos = pos_in_chunk + (jnp.arange(n_chunks, dtype=jnp.int32)
+                           * chunk_len)[:, None]
     last_occ = jnp.full((n_chunks, width), -1, dtype=jnp.int32)
     last_occ = last_occ.at[
         jnp.arange(n_chunks, dtype=jnp.int32)[:, None], chunks
-    ].max(pos_in_chunk)
+    ].max(gpos)
 
-    def merge(pos, last):
-        """pos: (256,) symbol->position before this chunk; last: (256,)
-        chunk last-occurrence indices.  After the chunk, its symbols sit
-        at the front ordered by recency, survivors follow in prior
-        order."""
-        in_chunk = last >= 0
-        n_in = jnp.sum(in_chunk.astype(jnp.int32))
-        big = jnp.int32(1) << 24
-        rank_in = _rank_of(jnp.where(in_chunk, -last, big))
-        rank_surv = _rank_of(jnp.where(in_chunk, big, pos))
-        new_pos = jnp.where(in_chunk, rank_in, n_in + rank_surv)
-        return new_pos, pos
+    # exclusive max-scan over chunks -> last occurrence before chunk t
+    virt = -1 - jnp.arange(width, dtype=jnp.int32)  # identity initial list
+    shifted = jnp.concatenate(
+        [jnp.broadcast_to(virt[None, :] - width, (1, width)),
+         last_occ[:-1]], axis=0)
+    before = lax.associative_scan(jnp.maximum, shifted, axis=0)
+    before = jnp.maximum(before, virt[None, :])
 
-    init = jnp.arange(width, dtype=jnp.int32)  # identity: alphabet order
-    _, starts = lax.scan(merge, init, last_occ)
+    # rank within each row by descending recency = start position
+    # (all values distinct: real positions are unique, virtuals too)
+    order = jnp.argsort(-before, axis=1)
+    starts = jnp.zeros((n_chunks, width), dtype=jnp.int32)
+    starts = starts.at[
+        jnp.arange(n_chunks, dtype=jnp.int32)[:, None], order
+    ].set(jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
+                           (n_chunks, width)))
     return starts  # (n_chunks, width): position of each symbol at chunk start
 
 
