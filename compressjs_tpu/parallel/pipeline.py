@@ -102,15 +102,48 @@ def _finish_block(block, pidx, syms, count, freq, alphabet_size, used):
     return w.bits(), (payload, total_bits)
 
 
+def _device_block_header(pidx, lens, n_groups, sel, count, alphabet_size,
+                         used):
+    """Block header bits from the matrices an encode_block_full download
+    provides (same layout as _finish_block writes)."""
+    nvc = (count + GROUP_SIZE - 1) // GROUP_SIZE
+    selectors = np.asarray(sel[:nvc], dtype=np.uint8)
+    m = alphabet_size + 2
+    w = BitArrayWriter()
+    w.write_bit(0)  # not randomized
+    w.write_bits(24, int(pidx))
+    compact = used.reshape(16, 16).any(axis=1)
+    for i in range(16):
+        w.write_bit(bool(compact[i]))
+    for i in range(16):
+        if compact[i]:
+            for j in range(16):
+                w.write_bit(bool(used[(i << 4) | j]))
+    w.write_bits(3, n_groups)
+    w.write_bits(15, len(selectors))
+    w.append(hs.selector_mtf_bits(selectors, n_groups))
+    for g in range(n_groups):
+        w.append(hs.emit_table_deltas(
+            np.asarray(lens[g, :m], dtype=np.uint8)))
+    return w.bits()
+
+
 class DeviceBzip2Encoder:
     """bzip2 encoder with block transforms on device.
 
-    mode='full'   — sort+BWT+MTF+RLE2 on device (the whole transform
-                    chain in HBM; what the multi-chip mesh path shards).
+    mode='full'   — the ENTIRE block encode on device, entropy stage
+                    included (ops.device_entropy.encode_block_full):
+                    the host downloads packed payload bytes + tiny
+                    header matrices, never the symbols.  Minimum
+                    download (~compressed size) — the right mode when
+                    the host<->device link is the bottleneck.
+    mode='core'   — sort+BWT+MTF+RLE2 on device (encode_block_core),
+                    Huffman group optimization on the native host from
+                    the downloaded symbol stream.
     mode='hybrid' — sort+BWT on device (the O(n log n) make-or-break
                     kernel), MTF/RLE2/Huffman on the native host runtime.
-                    On a tunnel-attached chip this wins: the sequential
-                    stages are latency-bound, not bandwidth-bound.
+                    The best split when host cores are free and the
+                    link is fast.
 
     Cores for all blocks are dispatched up front (async) so the chip
     computes ahead of the host assembly loop."""
@@ -142,9 +175,20 @@ class DeviceBzip2Encoder:
             # odd-length tail: each distinct shape would cost a fresh XLA
             # compile; the native host BWT handles it instead
             return ('host', block)
+        width = (64 if alphabet_size + 2 <= 64 else
+                 128 if alphabet_size + 2 <= 128 else 256)
         if self.mode == 'full':
-            width = (64 if alphabet_size <= 64 else
-                     128 if alphabet_size <= 128 else 256)
+            # all-device block encode: the host only sees packed payload
+            # bytes + the tiny header matrices (ops.device_entropy)
+            from ..ops import device_entropy as de
+            mtf_impl = 'pallas' if jax.default_backend() == 'tpu' \
+                else 'xla'
+            return ('full', de.encode_block_full(
+                jnp.asarray(block), n, jnp.asarray(remap),
+                jnp.int32(alphabet_size + 1), width, mtf_impl))
+        if self.mode == 'core':
+            # device transforms, host entropy (downloads the symbol
+            # stream instead of the 2x larger BWT column)
             return jk.encode_block_core(
                 jnp.asarray(block), n, jnp.asarray(remap),
                 jnp.int32(alphabet_size + 1), width)
@@ -198,6 +242,8 @@ class DeviceBzip2Encoder:
                 if core[0] == 'batch':
                     U_all, p_all = batch_np.result()
                     return (U_all[core[1]], p_all[core[1]])
+                if core[0] == 'full':
+                    return self._fetch_full(core[1])
                 return core
             return tuple(np.asarray(x) for x in core)
 
@@ -206,6 +252,20 @@ class DeviceBzip2Encoder:
             return self._assemble(o, out, submitted, fetched)
         finally:
             pool.shutdown(wait=False)
+
+    def _fetch_full(self, dev):
+        """Download an encode_block_full result: small matrices plus only
+        the payload prefix that is real (two-step fetch: the byte count
+        arrives first, then a concrete-size device slice transfers just
+        total_bits/8 bytes instead of the 1.5n-byte buffer)."""
+        pidx, payload, bits, lens, g, sel, count, freq = dev
+        bits = int(bits)
+        if bits > payload.shape[0] * 8:  # payload cap exceeded
+            return ('hostfull',)         # (pathological block; recompute)
+        nbytes = (bits + 7) // 8
+        pay = np.asarray(payload[:nbytes])
+        return ('fullres', int(pidx), pay, bits, np.asarray(lens),
+                int(g), np.asarray(sel), int(count))
 
     def _assemble(self, o, out, submitted, fetched):
         from .profiling import stage_timer
@@ -217,8 +277,22 @@ class DeviceBzip2Encoder:
                 core = fut.result()
             if self.self_check:
                 self._check_block(block, used, core)
-            if isinstance(core, tuple) and len(core) == 2 and \
-                    isinstance(core[0], str) and core[0] == 'host':
+            tag = core[0] if isinstance(core, tuple) and \
+                isinstance(core[0], str) else None
+            if tag == 'fullres':
+                with timer.stage('host header stage'):
+                    _, pidx, payload, total_bits, lens, g, sel, count = \
+                        core
+                    header_bits = _device_block_header(
+                        pidx, lens, g, sel, count, alphabet_size, used)
+                stream_crc = stream_crc_combine(stream_crc, crc)
+                out.write_bits(48, WHOLEPI)
+                out.write_bits(32, crc)
+                out.write_bit_array(header_bits)
+                out.write_bit_array(
+                    np.unpackbits(payload, count=total_bits))
+                continue
+            if tag in ('host', 'hostfull'):
                 from ..ops import bwt as bwt_ops
                 n = block.shape[0]
                 U = np.zeros(n, dtype=np.uint8)
@@ -226,7 +300,7 @@ class DeviceBzip2Encoder:
                 alphabet = np.nonzero(used)[0].astype(np.uint8)
                 syms, freq = _mtf_rle2(U, alphabet, alphabet_size)
                 count = len(syms)
-            elif self.mode == 'full':
+            elif self.mode == 'core':
                 pidx, syms_dev, count_dev, freq_dev = core
                 count = int(count_dev)
                 freq = np.asarray(freq_dev)
@@ -258,13 +332,16 @@ class DeviceBzip2Encoder:
         """Sanitizer: re-run the block transform on the host and compare
         (the race/assert-mode analog from SURVEY.md §5)."""
         from ..ops import bwt as bwt_ops
-        if isinstance(core, tuple) and len(core) == 2 and \
-                isinstance(core[0], str):
+        tag = core[0] if isinstance(core, tuple) and \
+            isinstance(core[0], str) else None
+        if tag in ('host', 'hostfull'):
             return  # host path: nothing to cross-check
         n = block.shape[0]
         U_ref = np.zeros(n, dtype=np.uint8)
         pidx_ref = bwt_ops.bwtransform2(block, U_ref, n, 256)
-        if self.mode == 'full':
+        if tag == 'fullres':
+            pidx = int(core[1])
+        elif self.mode == 'core':
             pidx = int(core[0])
         else:
             pidx = int(core[1])

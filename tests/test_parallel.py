@@ -117,7 +117,7 @@ def test_device_pipeline_byte_parity(ref_samples):
     from compressjs_tpu.codecs import bzip2
     data = ref_samples['sample2']
     host = bytes(bzip2.compress_file(data, None, 1))
-    for mode in ('hybrid', 'full'):
+    for mode in ('hybrid', 'core', 'full'):
         dev = bytes(DeviceBzip2Encoder(1, mode).compress(data))
         assert dev == host, mode
 
@@ -131,6 +131,21 @@ def test_device_pipeline_batched_dispatch(ref_samples):
     host = bytes(bzip2.compress_file(data, None, 1))
     enc = DeviceBzip2Encoder(1, 'hybrid', batch=True, self_check=True)
     assert bytes(enc.compress(data)) == host
+
+
+def test_hetero_byte_parity(ref_samples):
+    """Host workers + device pipeline sharing one block queue produce
+    byte-identical output (parallel/hetero.py), in both device modes and
+    host-only degenerate form."""
+    from compressjs_tpu.parallel.hetero import hetero_compress_bzip2
+    from compressjs_tpu.codecs import bzip2
+    data = ref_samples['sample2']
+    host = bytes(bzip2.compress_file(data, None, 1))
+    for kwargs in ({'device': True, 'device_mode': 'full'},
+                   {'device': True, 'device_mode': 'hybrid'},
+                   {'device': False, 'host_workers': 1}):
+        out = bytes(hetero_compress_bzip2(data, None, 1, **kwargs))
+        assert out == host, kwargs
 
 
 def test_device_huffman_stage_kernels():
