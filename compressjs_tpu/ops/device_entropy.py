@@ -433,11 +433,34 @@ def payload_pack_words_dev(syms, count, selectors, lens, codes, cap_bytes):
     spill = (bo + ln) > 32
     sh_lo = jnp.clip(64 - bo - ln, 0, 31).astype(jnp.uint32)
     lo = jnp.where(spill, cd << sh_lo, jnp.uint32(0))
+    # Combine the ~7 codes that share each output word BEFORE touching
+    # HBM: wi is non-decreasing, so a log-stride shifted-OR accumulates
+    # each equal-wi run's bits into its last element (the running OR is
+    # numerically monotone within a run — bits only get added), and one
+    # unique-index scatter per stream writes run totals.  A plain
+    # scatter-add over the duplicate-heavy wi indices measured ~5x
+    # slower on v5e (duplicates serialize the scatter).
     nwords = cap_bytes // 4
+    # pad lanes (ln == 0, always a contiguous tail) get a sentinel word
+    # index so the last REAL element of every run is its run end
+    wi_eff = jnp.where(valid & (ln > 0), wi, nwords)
+    stride = 1
+    while stride < 32:   # hi-runs hold <= 32 codes (each >= 1 bit)
+        same = jnp.zeros(n, dtype=jnp.bool_)
+        same = same.at[stride:].set(wi_eff[stride:] == wi_eff[:-stride])
+        hi = hi | jnp.where(same, jnp.concatenate(
+            [jnp.zeros(stride, jnp.uint32), hi[:-stride]]), 0)
+        lo = lo | jnp.where(same, jnp.concatenate(
+            [jnp.zeros(stride, jnp.uint32), lo[:-stride]]), 0)
+        stride <<= 1
+    is_end = jnp.ones(n, dtype=jnp.bool_)
+    is_end = is_end.at[:-1].set(wi_eff[1:] != wi_eff[:-1])
+    idx_hi = jnp.where(is_end, wi_eff, nwords)
+    idx_lo = jnp.where(is_end & (wi_eff < nwords), wi_eff + 1, nwords)
     words = jnp.zeros(nwords, dtype=jnp.uint32)
-    wi_safe = jnp.where(valid & (ln > 0), wi, nwords)
-    words = words.at[wi_safe].add(hi, mode='drop')
-    words = words.at[wi_safe + 1].add(lo, mode='drop')
+    words = words.at[idx_hi].set(hi, mode='drop', unique_indices=True)
+    words = words | jnp.zeros(nwords, dtype=jnp.uint32).at[idx_lo].set(
+        lo, mode='drop', unique_indices=True)
     # big-endian byte split
     b = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
                    (words >> 8) & 0xFF, words & 0xFF],

@@ -265,6 +265,26 @@ def inverse_bwt_block(U, n, pidx):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+def inverse_bwt_block_masked(U, cap, n, pidx):
+    """inverse_bwt_block with a TRACED valid length n <= cap (static):
+    the decode-side blocks of one stream are ragged (RLE1 packing makes
+    every block a different length), so the mesh decode pads them to one
+    capacity and each lane inverts only its first n entries.  Entries at
+    index >= n of the result are zero."""
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = idx < n
+    key = jnp.where(valid, U[:cap].astype(jnp.int32), 300)
+    _, order = lax.sort((key, idx), num_keys=2)  # pads sort last
+    lf = jnp.zeros(cap, dtype=jnp.int32).at[order].set(idx)
+    lf = jnp.minimum(lf, cap - 1)
+    seq = _orbit_from_dev(lf, jnp.minimum(pidx, cap - 1), cap)
+    # reversed gather of the first n walk entries
+    j = jnp.clip(n - 1 - idx, 0, cap - 1)
+    out = U[:cap][seq[j]]
+    return jnp.where(valid, out, 0).astype(U.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def inverse_bwt_eof_block(T, n, pidx):
     """Invert the EOF-terminated BWT on device (decoder dual of
     bwt_eof_block; reference BWT.js:352-363 contract): returns the
@@ -443,6 +463,99 @@ def rle2_encode(mtf_seq, n, eob):
     freq = jnp.bincount(syms, length=260)
     freq = freq.at[eob].add(-((n + 1) - count))
     return syms.astype(jnp.int16), count, freq
+
+
+# ---------------------------------------------------------------------------
+# decode-side kernels (device duals used by the mesh-parallel decode:
+# host native Huffman walk -> device RLE2-undo -> device inverse MTF ->
+# device inverse BWT; RLE1-undo stays on the host on purpose — the
+# pre-RLE1 form is the SMALLER one, so stopping there minimizes the
+# device->host download)
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def rle2_decode(syms, out_cap, count):
+    """Invert rle2_encode: RUNA/RUNB digit groups -> zero runs, literal
+    j+1 -> j.  syms excludes the EOB (caller passes count = EOB index).
+    Returns (mtf indices int32[out_cap], out_count)."""
+    n = syms.shape[0]
+    s = syms.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+    is_digit = (s < 2) & valid
+    # digit position within its run group (consecutive digits)
+    nondigit_mark = jnp.where(~is_digit, idx + 1, 0)
+    grp_start = lax.associative_scan(jnp.maximum, nondigit_mark)
+    dpos = idx - grp_start
+    # bijective base-2: L = sum (digit_i + 1) << i, accumulated by a
+    # segmented sum: contribution of each digit
+    contrib = jnp.where(is_digit, (s + 1) << jnp.minimum(dpos, 30), 0)
+    csum = jnp.cumsum(contrib)
+    grp_end = is_digit & jnp.concatenate(
+        [~is_digit[1:], jnp.ones(1, dtype=jnp.bool_)])
+    seg_base = jnp.where(grp_start > 0,
+                         csum[jnp.maximum(grp_start - 1, 0)], 0)
+    run_len = jnp.where(grp_end, csum - seg_base, 0)
+    # per-input output counts: last digit of a group emits the zero run,
+    # literals emit one symbol
+    out_cnt = jnp.where(is_digit, run_len, jnp.where(valid, 1, 0))
+    offsets = jnp.cumsum(out_cnt) - out_cnt
+    total = jnp.sum(out_cnt)
+    # producer covering each output slot (scatter-max + running max)
+    out_idx = jnp.arange(out_cap, dtype=jnp.int32)
+    mark = jnp.zeros(out_cap + 1, dtype=jnp.int32)
+    mark = mark.at[jnp.where(out_cnt > 0, offsets, out_cap + 1)].max(
+        idx, mode='drop')
+    iat = lax.associative_scan(jnp.maximum, mark[:out_cap])
+    val = jnp.where(s[iat] < 2, 0, s[iat] - 1)
+    out = jnp.where(out_idx < total, val, 0)
+    return out, total
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def mtf_decode(indices, n, chunk_len=512, width=256):
+    """Invert mtf_encode on device: the effect of a chunk on the MTF
+    list is a permutation determined ONLY by the chunk's indices, so
+    per-chunk permutations are built in parallel, chunk-start lists come
+    from one associative composition scan, and all chunks then decode in
+    parallel.  Returns dense symbol values int32[n]."""
+    n_chunks = -(-n // chunk_len)
+    padded = n_chunks * chunk_len
+    d = jnp.zeros(padded, dtype=jnp.int32)
+    d = d.at[:n].set(indices[:n].astype(jnp.int32))
+    chunks = d.reshape(n_chunks, chunk_len)
+
+    pos = jnp.arange(width, dtype=jnp.int32)[None, :]
+
+    def perm_step(perm, js):
+        # move-to-front at index js (per chunk): new[0] = old[j],
+        # new[1..j] = old[0..j-1], new[j+1..] = old[j+1..]
+        shifted = jnp.roll(perm, 1, axis=1)
+        newperm = jnp.where(pos == 0,
+                            jnp.take_along_axis(perm, js[:, None],
+                                                axis=1),
+                            jnp.where(pos <= js[:, None], shifted, perm))
+        return newperm, None
+
+    init = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
+                            (n_chunks, width))
+    chunk_perm, _ = lax.scan(perm_step, init, chunks.T)
+
+    # exclusive composition scan: list_before_c = L0[pi_1][pi_2]...
+    def compose(a, b):
+        return jnp.take_along_axis(a, b, axis=1)
+
+    inclusive = lax.associative_scan(compose, chunk_perm, axis=0)
+    start_lists = jnp.concatenate([init[:1], inclusive[:-1]], axis=0)
+
+    def decode_step(lists, js):
+        out = jnp.take_along_axis(lists, js[:, None], axis=1)[:, 0]
+        shifted = jnp.roll(lists, 1, axis=1)
+        lists = jnp.where(pos == 0, out[:, None],
+                          jnp.where(pos <= js[:, None], shifted, lists))
+        return lists, out
+
+    _, outs = lax.scan(decode_step, start_lists, chunks.T)
+    return outs.T.reshape(padded)[:n]
 
 
 # ---------------------------------------------------------------------------

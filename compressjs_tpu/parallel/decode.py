@@ -110,6 +110,112 @@ def _decode_at_fork(args):
     return _decode_at(_FORK_DATA[key], pos, dbuf_size)
 
 
+def _parse_candidates(data):
+    """Shared front half of the parallel decoders: returns (dbuf_size,
+    first_block_pos, candidate bit positions bounded by the first
+    end-of-stream magic), or None when the input should take the
+    sequential path."""
+    r = bz._BitReader(data)
+    dbuf_size = bz._start(r)
+    first_block_pos = r.tell_bit()
+    candidates = [int(p) for p in block_index(data)
+                  if p >= first_block_pos]
+    if not candidates or candidates[0] != first_block_pos:
+        return None
+    end_hits = _scan_magic(data, _END_MAGIC_BITS)
+    end_hits = end_hits[end_hits >= first_block_pos]
+    if end_hits.size == 0:
+        return None
+    end_bound = int(end_hits[0])
+    candidates = [p for p in candidates if p < end_bound]
+    if not candidates:
+        return None
+    return dbuf_size, first_block_pos, candidates
+
+
+def decompress_file_mesh(input_data, output=None, mesh=None,
+                         n_workers=None):
+    """Mesh-parallel bzip2 decode: the host's native canonical-Huffman
+    walk parses headers+symbols per candidate block (thread pool — the
+    walk is inherently bit-serial, see ARCHITECTURE.md), the DEVICE mesh
+    inverts the ragged BWT columns (sharded_ragged_inverse_bwt — the
+    pointer-chase walk as log-round orbit doubling per lane), and the
+    host undoes RLE1 + checks CRCs.  RLE1-undo stays host-side by
+    design: the pre-RLE1 form is the smaller one, so the device->host
+    transfer happens at the smallest point in the pipeline.  Falls back
+    to the sequential decoder on any anomaly — byte-exact either way."""
+    from ..ops import rle as rle_ops
+    from ..utils.crc32 import crc32_bzip2
+    from .mesh import make_mesh, sharded_ragged_inverse_bwt
+
+    data = bz._slurp(input_data)
+    parsed = _parse_candidates(data)
+    if parsed is None:
+        return bz.decompress_file(data, output, _sequential=True)
+    dbuf_size, first_block_pos, candidates = parsed
+
+    def parse_at(pos):
+        rr = bz._BitReader(data)
+        rr.seek_bit(pos)
+        try:
+            res = bz._read_block_header(rr, dbuf_size)
+        except ValueError:
+            return None
+        if res is None:
+            return None
+        dbuf, orig_pointer, target_crc = res
+        return dbuf, orig_pointer, target_crc, rr.tell_bit()
+
+    n_workers = n_workers or min(8, 2 * (os.cpu_count() or 2))
+    with ThreadPoolExecutor(n_workers) as ex:
+        results = list(ex.map(parse_at, candidates))
+
+    by_pos = {}
+    for pos, res in zip(candidates, results):
+        if res is not None and res[3] > pos:
+            by_pos[pos] = res
+    chain = []
+    pos = first_block_pos
+    while pos in by_pos:
+        chain.append(by_pos.pop(pos))
+        pos = chain[-1][3]
+    if not chain:
+        return bz.decompress_file(data, output, _sequential=True)
+
+    # device mesh: ragged inverse BWT, one lane per block
+    mesh = mesh if mesh is not None else make_mesh()
+    B = len(chain)
+    Us = np.zeros((B, dbuf_size), dtype=np.uint8)
+    ns = np.zeros(B, dtype=np.int32)
+    pidxs = np.zeros(B, dtype=np.int32)
+    for i, (dbuf, op, _, _) in enumerate(chain):
+        Us[i, :dbuf.shape[0]] = dbuf
+        ns[i] = dbuf.shape[0]
+        pidxs[i] = op
+    packed = np.asarray(sharded_ragged_inverse_bwt(mesh, Us, ns, pidxs))
+
+    # host: RLE1 undo + CRC validation + end-of-stream check
+    pieces = []
+    stream_crc = 0
+    for i, (_, _, target_crc, _) in enumerate(chain):
+        out = rle_ops.rle1_decode(packed[i, :ns[i]])
+        if crc32_bzip2(out) != target_crc:
+            return bz.decompress_file(data, output, _sequential=True)
+        pieces.append(out)
+        stream_crc = stream_crc_combine(stream_crc, target_crc)
+    rr = bz._BitReader(data)
+    rr.seek_bit(pos)
+    if rr.read_bits(48) != bz.SQRTPI or rr.read_bits(32) != stream_crc:
+        return bz.decompress_file(data, output, _sequential=True)
+    o = coerce_output_stream(output)
+    for piece in pieces:
+        if hasattr(o.stream, 'write_array'):
+            o.stream.write_array(piece)
+        else:
+            o.stream.write(piece, 0, len(piece))
+    return o.retval
+
+
 def decompress_file_parallel(input_data, output=None, n_workers=None,
                              executor='thread'):
     """Parallel bzip2 decode; falls back to sequential on any anomaly.
@@ -120,29 +226,19 @@ def decompress_file_parallel(input_data, output=None, n_workers=None,
     input copy-on-write (Linux); forking a process that has already
     initialized JAX (multithreaded) risks deadlock, so it is opt-in."""
     data = bz._slurp(input_data)
-    r = bz._BitReader(data)
-    dbuf_size = bz._start(r)
-    first_block_pos = r.tell_bit()
-    candidates = [int(p) for p in block_index(data) if p >= first_block_pos]
-    if not candidates or candidates[0] != first_block_pos:
+    # Resource bound inside _parse_candidates: the sequential decoder
+    # never reads past the end-of-stream magic, so neither does the
+    # candidate scan — a crafted tail of decodable blocks appended after
+    # the end magic would otherwise be fully decoded and discarded (~9x
+    # CPU/memory amplification per appended block).  Candidates at or
+    # beyond the first end-magic occurrence are dropped before any
+    # decoding; a false-positive end magic inside a payload
+    # (p ~ bits * 2^-48) only breaks the chain check below, which falls
+    # back to the sequential decoder.
+    parsed = _parse_candidates(data)
+    if parsed is None:
         return bz.decompress_file(data, output, _sequential=True)
-    # Resource bound: the sequential decoder never reads past the
-    # end-of-stream magic, so neither should the candidate scan — a
-    # crafted tail of decodable blocks appended after the end magic
-    # would otherwise be fully decoded and discarded (~9x CPU/memory
-    # amplification per appended block).  Candidates at or beyond the
-    # first end-magic occurrence are dropped before any decoding; a
-    # false-positive end magic inside a payload (p ~ bits * 2^-48) only
-    # breaks the chain check below, which falls back to the sequential
-    # decoder.
-    end_hits = _scan_magic(data, _END_MAGIC_BITS)
-    end_hits = end_hits[end_hits >= first_block_pos]
-    if end_hits.size == 0:
-        return bz.decompress_file(data, output, _sequential=True)
-    end_bound = int(end_hits[0])
-    candidates = [p for p in candidates if p < end_bound]
-    if not candidates:
-        return bz.decompress_file(data, output, _sequential=True)
+    dbuf_size, first_block_pos, candidates = parsed
 
     # oversubscribe the thread pool: the native LF walk is memory-
     # latency bound, so extra threads hide pointer-chase stalls (2 cores:

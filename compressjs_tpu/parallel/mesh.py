@@ -192,6 +192,38 @@ def sharded_block_decode(mesh, Us, pidxs, eof=False):
     return jax.jit(f)(Us, pidxs)[:B]
 
 
+def sharded_ragged_inverse_bwt(mesh, Us, ns, pidxs):
+    """Invert B RAGGED cyclic-BWT columns sharded over the 'dp' axis:
+    Us (B, cap) uint8 padded columns, ns (B,) valid lengths, pidxs (B,).
+    Decode-side blocks of one stream differ in length (RLE1 packing), so
+    each lane masks to its own n (ops.jax_kernels.inverse_bwt_block_
+    masked).  B is padded to a mesh multiple internally.  Returns the
+    (B, cap) original blocks (zero past each n)."""
+    B = int(np.asarray(Us).shape[0])
+    cap = int(np.asarray(Us).shape[1])
+    n_dev = mesh.devices.size
+    Us = jnp.asarray(Us)
+    ns = jnp.asarray(ns, dtype=jnp.int32)
+    pidxs = jnp.asarray(pidxs, dtype=jnp.int32)
+    if B % n_dev:
+        pad = n_dev - B % n_dev
+        Us = jnp.concatenate(
+            [Us, jnp.zeros((pad, cap), dtype=Us.dtype)])
+        ns = jnp.concatenate([ns, jnp.zeros(pad, dtype=jnp.int32)])
+        pidxs = jnp.concatenate([pidxs, jnp.zeros(pad, dtype=jnp.int32)])
+
+    def per_shard(U_s, n_s, p_s):
+        return jax.vmap(
+            lambda u, nn, p: jk.inverse_bwt_block_masked(u, cap, nn, p)
+        )(U_s, n_s, p_s)
+
+    f = shard_map(per_shard, mesh=mesh,
+                  in_specs=(P('dp', None), P('dp'), P('dp')),
+                  out_specs=P('dp', None),
+                  check_vma=False)
+    return jax.jit(f)(Us, ns, pidxs)[:B]
+
+
 def sharded_bwt_eof(mesh, blocks):
     """EOF-terminated BWT of B equal-length blocks over the dp axis:
     returns (U (B, n) uint8, pidx (B,) int32) — the transform stage of

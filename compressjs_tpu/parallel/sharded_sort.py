@@ -1,29 +1,40 @@
 """Context-parallel suffix sort: one block's rotation sort sharded over a
-device mesh.
+device mesh with O(n/d) per-device memory.
 
 This is the CP axis from SURVEY.md §2/§5: when a single block is too
-large (or too slow) for one chip, the prefix-doubling rounds run with the
-rank array sharded over the mesh.  Each round is:
+large for one chip, the prefix-doubling rounds run with every array —
+block bytes, ranks, sort keys — sharded over the mesh.  Nothing is ever
+all-gathered (round 1 gathered the full rank vector every round, which
+made per-device memory O(n) and defeated the purpose).
 
-  1. shifted ranks  — `jnp.roll` by the doubling distance across shards
-     (implemented on the all-gathered rank vector; the exchange rides the
-     ICI as one all-gather per round)
-  2. distributed two-key sort — sample sort: local sort, splitter
-     selection via gathered samples, bucket partition, padded
-     `lax.all_to_all` exchange, local refine
-  3. rank recompression — boundary-aware diff flags plus a distributed
-     exclusive scan (local cumsum + shard-offset exchange)
-  4. rank scatter — routed back to position-sharded layout with a second
-     padded `all_to_all`
+Design:
+* **Distributed sort = compare-split bitonic network over shards.**
+  Each comparator ppermutes a full shard to its hypercube partner,
+  merges locally (one lax.sort of 2s elements), and keeps the low or
+  high half.  Any sorting network stays correct when comparators are
+  replaced by merge-splits on locally-sorted blocks (0-1 principle), so
+  the memory bound is a strict 2s per operand — no sample-sort bucket
+  slabs, no skew overflow cases.  d must be a power of two.
+* **Shifted ranks via two ring ppermutes.**  rank[(i+k) mod n] for a
+  contiguous position shard is a contiguous window spanning at most two
+  neighbor shards; with the round schedule unrolled (k static per
+  round), the source devices are static ppermute pairs.
+* **Quad rounds** (sort by rank@0,k,2k,3k — the same 4-key trick as the
+  single-chip kernel) with replicated early-exit: rounds are statically
+  unrolled and gated by a psum-derived predicate every device agrees
+  on, so skipped rounds skip their collectives safely.
+* **Seed keys sharded**: 16 bytes of context per position needs only
+  the next shard's first 15 bytes (one ring ppermute).
+* **Rank routing back to position order is another bitonic sort** keyed
+  by position: positions are a permutation, so the sorted result is
+  exactly evenly distributed — no padded all_to_all.
 
-Every collective is a standard XLA primitive (`all_gather`,
-`all_to_all`, `ppermute`) inside `shard_map`, so the same program runs
-on the CPU test mesh and on a real multi-chip slice.
+Every collective is a standard XLA primitive (`ppermute`, `psum`, tiny
+`all_gather` of per-shard scalars) inside `shard_map`, so the same
+program runs on the CPU test mesh and on a real multi-chip slice.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -33,192 +44,216 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import jax_kernels as jk
-
 AXIS = 'dp'
 
 
-def _dist_sort_triples(k1, k2, vi, n_dev, pad_factor=3):
-    """Distributed two-key sort of (k1, k2, vi) shards via sample sort.
+def _ppermute_to(x, pairs):
+    return lax.ppermute(x, AXIS, pairs)
 
-    Each device holds s items.  Returns the device's shard of the
-    globally sorted sequence (exactly s items, even redistribution)."""
-    s = k1.shape[0]
+
+def _bitonic_shard_sort(arrays, num_keys, n_dev):
+    """Sort shard-distributed arrays globally (ascending, device-major).
+
+    arrays: tuple of (s,) arrays forming lexicographic (key..., payload)
+    triples.  Returns same-shape arrays holding the globally sorted
+    sequence's shard for this device.  Strict O(s) memory: each network
+    comparator is one shard ppermute + one local 2s merge-split."""
     me = lax.axis_index(AXIS)
-
-    # local sort
-    k1, k2, vi = lax.sort((k1, k2, vi), num_keys=2)
-
-    # splitters: sample s/n_dev evenly from each device, gather, sort,
-    # take every n_dev-th as the global splitter set
-    n_samples = max(n_dev, 1)
-    step = max(s // n_samples, 1)
-    samples1 = k1[::step][:n_samples]
-    samples2 = k2[::step][:n_samples]
-    all1 = lax.all_gather(samples1, AXIS, tiled=True)
-    all2 = lax.all_gather(samples2, AXIS, tiled=True)
-    all1, all2 = lax.sort((all1, all2), num_keys=2)
-    idxs = (jnp.arange(1, n_dev, dtype=jnp.int32) * n_samples)
-    split1 = all1[idxs]          # (n_dev-1,)
-    split2 = all2[idxs]
-
-    # destination bucket of each local item: count of splitters <= item
-    # (lexicographic two-key compare)
-    less = ((split1[None, :] < k1[:, None]) |
-            ((split1[None, :] == k1[:, None]) &
-             (split2[None, :] <= k2[:, None])))
-    dest = jnp.sum(less.astype(jnp.int32), axis=1)      # (s,) in [0,n_dev)
-
-    # pack buckets into (n_dev, cap) padded slabs; local data is sorted so
-    # buckets are contiguous runs.  cap = s is the safe bound: with heavy
-    # key skew (periodic blocks collapse many ranks) one bucket can take a
-    # device's whole shard, and a dropped element corrupts the sort.
-    cap = s
-    counts = jnp.bincount(dest, length=n_dev)
-    offsets = jnp.cumsum(counts) - counts               # bucket starts
-    within = jnp.arange(s) - offsets[dest]
-    slot = dest * cap + within
-    PAD1 = jnp.int32(2147483647)
-    slab1 = jnp.full(n_dev * cap, PAD1, dtype=jnp.int32)
-    slab2 = jnp.full(n_dev * cap, PAD1, dtype=jnp.int32)
-    slabv = jnp.full(n_dev * cap, -1, dtype=jnp.int32)
-    slab1 = slab1.at[slot].set(k1, mode='drop')
-    slab2 = slab2.at[slot].set(k2, mode='drop')
-    slabv = slabv.at[slot].set(vi, mode='drop')
-
-    # exchange: device d receives every device's bucket d
-    r1 = lax.all_to_all(slab1.reshape(n_dev, cap), AXIS, 0, 0, tiled=False)
-    r2 = lax.all_to_all(slab2.reshape(n_dev, cap), AXIS, 0, 0, tiled=False)
-    rv = lax.all_to_all(slabv.reshape(n_dev, cap), AXIS, 0, 0, tiled=False)
-    r1 = r1.reshape(-1)
-    r2 = r2.reshape(-1)
-    rv = rv.reshape(-1)
-
-    # local refine: sort received (pads sort to the end)
-    r1, r2, rv = lax.sort((r1, r2, rv), num_keys=2)
-    my_count = jnp.sum(rv >= 0)
-
-    # redistribution to exactly s items/device: global position of each
-    # valid item = my bucket's global start + local index
-    all_counts = lax.all_gather(my_count, AXIS, tiled=False)  # (n_dev,)
-    my_start = jnp.sum(jnp.where(jnp.arange(n_dev) < me, all_counts, 0))
-    gpos = my_start + jnp.arange(r1.shape[0])
-    valid = rv >= 0
-    tgt_dev = jnp.where(valid, gpos // s, n_dev)          # n_dev = drop
-    tgt_slot = jnp.where(valid, gpos % s, 0)
-    # pack per-destination again (items for one destination are contiguous
-    # in gpos, at most ceil(cap*n_dev/s)+2 go anywhere -- but each device
-    # receives exactly s total, and from THIS device at most s... use cap2)
-    cap2 = s  # a single source can contribute at most s items overall
-    within2 = tgt_slot - (tgt_dev * s - my_start)
-    # within2 = local index within this device's run for that destination:
-    # compute robustly: index among my items targeted at tgt_dev
-    run_start_gpos = tgt_dev * s
-    within2 = jnp.where(valid, gpos - jnp.maximum(run_start_gpos,
-                                                  my_start), 0)
-    slot2 = tgt_dev * cap2 + within2
-    f1 = jnp.full((n_dev + 1) * cap2, PAD1, dtype=jnp.int32)
-    f2 = jnp.full((n_dev + 1) * cap2, PAD1, dtype=jnp.int32)
-    fv = jnp.full((n_dev + 1) * cap2, -1, dtype=jnp.int32)
-    f1 = f1.at[slot2].set(jnp.where(valid, r1, PAD1), mode='drop')
-    f2 = f2.at[slot2].set(jnp.where(valid, r2, PAD1), mode='drop')
-    fv = fv.at[slot2].set(jnp.where(valid, rv, -1), mode='drop')
-    g1 = lax.all_to_all(f1[:n_dev * cap2].reshape(n_dev, cap2), AXIS, 0, 0)
-    g2 = lax.all_to_all(f2[:n_dev * cap2].reshape(n_dev, cap2), AXIS, 0, 0)
-    gv = lax.all_to_all(fv[:n_dev * cap2].reshape(n_dev, cap2), AXIS, 0, 0)
-    g1, g2, gv = (g1.reshape(-1), g2.reshape(-1), gv.reshape(-1))
-    # each device now holds its s items (plus pads); final local sort
-    g1, g2, gv = lax.sort((g1, g2, gv), num_keys=2)
-    return g1[:s], g2[:s], gv[:s]
+    arrays = lax.sort(arrays, num_keys=num_keys)
+    size = 2
+    while size <= n_dev:
+        stride = size >> 1
+        while stride >= 1:
+            pairs = [(i, i ^ stride) for i in range(n_dev)]
+            partner = me ^ stride
+            received = tuple(_ppermute_to(a, pairs) for a in arrays)
+            # canonical (low-device, high-device) concatenation: both
+            # partners must sort the IDENTICAL sequence, or tied keys
+            # (lax.sort is unstable across payloads) make the kept
+            # halves non-complementary and elements duplicate/vanish
+            am_low = me < partner
+            merged = tuple(
+                lax.cond(am_low,
+                         lambda ab: jnp.concatenate([ab[0], ab[1]]),
+                         lambda ab: jnp.concatenate([ab[1], ab[0]]),
+                         (a, b))
+                for a, b in zip(arrays, received))
+            merged = lax.sort(merged, num_keys=num_keys)
+            s = arrays[0].shape[0]
+            ascending = (me & size) == 0
+            keep_low = (me < partner) == ascending
+            arrays = tuple(
+                lax.cond(keep_low,
+                         lambda m: m[:s],
+                         lambda m: m[s:], m)
+                for m in merged)
+            stride >>= 1
+        size <<= 1
+    return arrays
 
 
-def _sharded_round(rank_shard, k, n, n_dev):
-    """One prefix-doubling round on rank shards.  Returns (new_rank_shard,
-    max_rank)."""
-    s = rank_shard.shape[0]
+def _shifted_window(rank_shard, k, s, n, n_dev):
+    """rank[(base + j + k) mod n] for j in [0, s) — the contiguous
+    window starting k past this shard, assembled from (at most) two
+    statically-known source shards.  k, s, n, n_dev are Python ints at
+    trace time (rounds are unrolled)."""
+    dev_off = (k // s) % n_dev
+    off = k % s
+    src1 = [(j, (j - dev_off) % n_dev) for j in range(n_dev)]
+    a = _ppermute_to(rank_shard, src1)
+    if off == 0:
+        return a
+    src2 = [(j, (j - dev_off - 1) % n_dev) for j in range(n_dev)]
+    b = _ppermute_to(rank_shard, src2)
+    return lax.dynamic_slice(jnp.concatenate([a, b]), (off,), (s,))
+
+
+def _distributed_rank_compress(keys, n_dev, s):
+    """Group-start ranks for globally sorted key tuples: diff flags with
+    the previous device's boundary, local segment-start scan seeded by a
+    carried boundary start, plus tied count.  Returns (rank_sorted,
+    tied_psum)."""
     me = lax.axis_index(AXIS)
     base = me * s
-    # shifted ranks via the gathered vector (one ICI all-gather)
-    full_rank = lax.all_gather(rank_shard, AXIS, tiled=True)      # (n,)
-    idx_local = base + jnp.arange(s, dtype=jnp.int32)
-    rank2_shard = full_rank[(idx_local + k) % n]
-
-    s1, s2, vi = _dist_sort_triples(rank_shard, rank2_shard, idx_local,
-                                    n_dev)
-
-    # diff flags with the previous device's boundary keys
-    prev1 = lax.ppermute(s1[-1], AXIS,
-                         [(i, (i + 1) % n_dev) for i in range(n_dev)])
-    prev2 = lax.ppermute(s2[-1], AXIS,
-                         [(i, (i + 1) % n_dev) for i in range(n_dev)])
-    first_diff = jnp.where(me == 0, 1,
-                           ((s1[0] != prev1) | (s2[0] != prev2))
-                           .astype(jnp.int32))
-    diff = jnp.ones(s, dtype=jnp.int32)
-    diff = diff.at[0].set(first_diff)
-    diff = diff.at[1:].set(
-        ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32))
-    local_cum = jnp.cumsum(diff)
-    totals = lax.all_gather(local_cum[-1], AXIS, tiled=False)  # (n_dev,)
-    offset = jnp.sum(jnp.where(jnp.arange(n_dev) < me, totals, 0))
-    new_rank_sorted = local_cum + offset - 1                  # (s,)
-    max_rank = jnp.sum(totals) - 1
-
-    # scatter new ranks back to position-sharded layout
-    tgt_dev = vi // s
-    tgt_slot = vi % s
-    slab = jnp.full(n_dev * s, 0, dtype=jnp.int32)
-    slab = slab.at[tgt_dev * s + tgt_slot].set(new_rank_sorted,
-                                               mode='drop')
-    # all_to_all then combine: each device receives n_dev slabs of its
-    # positions; since destinations partition the items, sum works
-    recv = lax.all_to_all(slab.reshape(n_dev, s), AXIS, 0, 0)
-    new_rank_shard = jnp.sum(recv, axis=0)
-    return new_rank_shard, max_rank
+    prevs = [
+        _ppermute_to(kk[-1], [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        for kk in keys]
+    first_diff = jnp.where(
+        me == 0, True,
+        jnp.stack([kk[0] != pv for kk, pv in zip(keys, prevs)]).any())
+    diff = jnp.zeros(s, dtype=jnp.bool_).at[0].set(first_diff)
+    for kk in keys:
+        d = jnp.zeros(s, dtype=jnp.bool_)
+        d = d.at[1:].set(kk[1:] != kk[:-1])
+        diff = diff | d
+    gpos = base + jnp.arange(s, dtype=jnp.int32)
+    # local segment starts; positions before the first local diff belong
+    # to a segment starting on an earlier device — its start index is
+    # the max over earlier devices of their last segment start, carried
+    # by a ring max-scan over shards (log-free: one all_gather of one
+    # scalar per device)
+    local_start = lax.associative_scan(
+        jnp.maximum, jnp.where(diff, gpos, -1))
+    last_start = local_start[-1]   # >= 0 iff any diff on or before here
+    all_last = lax.all_gather(last_start, AXIS, tiled=False)  # (d,)
+    carry = jnp.max(jnp.where(jnp.arange(n_dev) < me, all_last, -1))
+    rank_sorted = jnp.where(local_start >= 0, local_start, carry)
+    # tied count: elements whose group has size > 1.  With group-start
+    # ranks an element is a singleton iff a diff flag sits on it AND on
+    # its successor (next element anywhere in the global order).
+    nxt_first = _ppermute_to(diff[0],
+                             [(i, (i - 1) % n_dev) for i in range(n_dev)])
+    nxt = jnp.concatenate(
+        [diff[1:], jnp.where(me == n_dev - 1, True, nxt_first)[None]])
+    singleton = diff & nxt
+    tied = lax.psum(s - jnp.sum(singleton.astype(jnp.int32)), AXIS)
+    return rank_sorted, tied
 
 
-def sharded_cyclic_suffix_sort(mesh, block, rounds=None):
-    """Cyclic rotation sort of `block` (uint8[n]) with the rank state
-    sharded over the mesh.  n must divide evenly by the mesh size.
-    Returns the sorted rotation order (int32[n], replicated)."""
+def _route_to_positions(vi, vals, n_dev, s):
+    """Scatter (position, value) pairs back to position-sharded layout
+    via a bitonic sort keyed by position (a permutation, so the result
+    is exactly even)."""
+    vi2, vals2 = _bitonic_shard_sort((vi, vals), 1, n_dev)
+    return vals2
+
+
+def sharded_cyclic_suffix_sort(mesh, block, rounds=None, gather=True):
+    """Cyclic rotation sort of `block` (uint8[n]) with every array
+    sharded over the mesh; per-device live memory is O(n/d).  n must
+    divide evenly by the mesh size, which must be a power of two.
+    Returns the sorted rotation order: replicated (int32[n]) when
+    gather=True, position-of-rank sharded otherwise."""
     n = int(block.shape[0])
-    n_dev = mesh.devices.size
+    n_dev = int(mesh.devices.size)
     assert n % n_dev == 0, 'block length must divide the mesh size'
-    if rounds is None:
-        rounds = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    assert n_dev & (n_dev - 1) == 0, 'mesh size must be a power of two'
+    s = n // n_dev
+    k0 = 16
+    # static quad-round schedule: k0 * 4^t until the context covers n
+    ks = []
+    k = k0
+    while k < n:
+        ks.append(k)
+        k *= 4
+    if rounds is not None:
+        ks = ks[:rounds]
 
     def program(block_sharded):
-        s = block_sharded.shape[0]
         me = lax.axis_index(AXIS)
         base = me * s
-        # seed ranks from 8 bytes of cyclic context (cross-shard bytes
-        # come from the gather), matching the single-chip kernel: two
-        # packed uint32 keys save two doubling rounds over a digram seed
-        full = lax.all_gather(block_sharded, AXIS, tiled=True)
-        hi, lo = jk.pack_cyclic_seed_keys(full.astype(jnp.uint32))
-        # initial rank compression, replicated (cheap, one pass)
-        idx0 = jnp.arange(n, dtype=jnp.int32)
-        rank_full = jk._seed_ranks(hi, lo, idx0, n)
-        rank_shard = lax.dynamic_slice(rank_full, (base,), (s,))
+        gpos = base + jnp.arange(s, dtype=jnp.int32)
+        # --- seed keys: 16 bytes of cyclic context per position; the
+        # tail needs the next shard's first 15 bytes (one ring ppermute)
+        nxt = _ppermute_to(block_sharded,
+                           [(i, (i - 1) % n_dev) for i in range(n_dev)])
+        ext = jnp.concatenate([block_sharded, nxt[:15]]).astype(jnp.uint32)
 
-        def cond(state):
-            rank_shard, k, max_rank = state
-            return (max_rank < n - 1) & (k < n)
+        def word(d):
+            return ((ext[d:d + s] << 24) | (ext[d + 1:d + 1 + s] << 16) |
+                    (ext[d + 2:d + 2 + s] << 8) | ext[d + 3:d + 3 + s])
 
-        def body(state):
-            rank_shard, k, _ = state
-            new_rank, max_rank = _sharded_round(rank_shard, k, n, n_dev)
-            return new_rank, k * 2, max_rank
+        keys = (word(0), word(4), word(8), word(12))
+        srt = _bitonic_shard_sort(keys + (gpos,), 4, n_dev)
+        rank_sorted, tied = _distributed_rank_compress(srt[:4], n_dev, s)
+        order = srt[4]
+        rank_shard = _route_to_positions(order, rank_sorted, n_dev, s)
 
-        rank_shard, _, _ = lax.while_loop(
-            cond, body, (rank_shard, jnp.int32(8), jnp.max(rank_full)))
+        # --- unrolled quad rounds, each gated by the replicated tied
+        # count (all devices agree, so skipping collectives is safe)
+        for k in ks:
+            def round_body(args):
+                rank_shard, order = args
+                r2 = _shifted_window(rank_shard, k, s, n, n_dev)
+                r3 = _shifted_window(rank_shard, 2 * k % n, s, n, n_dev)
+                r4 = _shifted_window(rank_shard, 3 * k % n, s, n, n_dev)
+                srt = _bitonic_shard_sort(
+                    (rank_shard, r2, r3, r4, gpos), 4, n_dev)
+                rank_sorted, tied2 = _distributed_rank_compress(
+                    srt[:4], n_dev, s)
+                new_rank = _route_to_positions(srt[4], rank_sorted,
+                                               n_dev, s)
+                return new_rank, srt[4]
 
-        # final order (rank asc, index desc), replicated result
-        rank_full = lax.all_gather(rank_shard, AXIS, tiled=True)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        _, _, order = lax.sort((rank_full, -idx, idx), num_keys=2)
+            rank_shard, order = lax.cond(
+                tied > 0, round_body, lambda a: a, (rank_shard, order))
+            # recompute tied lazily: piggyback on next round's compress
+            # would be cheaper, but the predicate must be current
+            if k != ks[-1]:
+                tied = lax.cond(
+                    tied > 0,
+                    lambda rs: _recount_tied(rs, n_dev, s),
+                    lambda rs: tied, rank_shard)
+
+        # --- final order with (rank asc, index desc) tie-break for
+        # pathological periodic blocks
+        _, _, order = _bitonic_shard_sort((rank_shard, -gpos, gpos), 2,
+                                          n_dev)
+        if gather:
+            return lax.all_gather(order, AXIS, tiled=True)
         return order
 
+    out_spec = P() if gather else P(AXIS)
     f = shard_map(program, mesh=mesh, in_specs=P(AXIS),
-                  out_specs=P(), check_vma=False)
+                  out_specs=out_spec, check_vma=False)
     return jax.jit(f)(block)
+
+
+def _recount_tied(rank_shard, n_dev, s):
+    """Tied-element count from position-sharded group-start ranks: an
+    element is tied iff another element shares its rank.  Ranks with
+    group-start semantics make this local-checkable after one sort."""
+    gpos = (lax.axis_index(AXIS) * s
+            + jnp.arange(s, dtype=jnp.int32))
+    r_sorted, _ = _bitonic_shard_sort((rank_shard, gpos), 1, n_dev)
+    prev = _ppermute_to(r_sorted[-1],
+                        [(i, (i + 1) % n_dev) for i in range(n_dev)])
+    nxt = _ppermute_to(r_sorted[0],
+                       [(i, (i - 1) % n_dev) for i in range(n_dev)])
+    me = lax.axis_index(AXIS)
+    left = jnp.concatenate(
+        [jnp.where(me == 0, -1, prev)[None], r_sorted[:-1]])
+    right = jnp.concatenate(
+        [r_sorted[1:], jnp.where(me == n_dev - 1, -2, nxt)[None]])
+    tied_local = (r_sorted == left) | (r_sorted == right)
+    return lax.psum(jnp.sum(tied_local.astype(jnp.int32)), AXIS)

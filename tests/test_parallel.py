@@ -133,6 +133,61 @@ def test_device_pipeline_batched_dispatch(ref_samples):
     assert bytes(enc.compress(data)) == host
 
 
+def test_mesh_decode_byte_parity(ref_samples):
+    """decompress_file_mesh: host Huffman walk + device mesh ragged
+    inverse BWT + host RLE1 undo == sequential decoder."""
+    from compressjs_tpu.codecs import bzip2
+    from compressjs_tpu.parallel.decode import decompress_file_mesh
+    from compressjs_tpu.parallel.mesh import make_mesh
+    data = bytes(ref_samples['sample4'])
+    comp = bytes(bzip2.compress_file(data, None, 1))  # multi-block
+    m = make_mesh(jax.devices()[:min(8, jax.device_count())])
+    assert bytes(decompress_file_mesh(comp, mesh=m)) == data
+    # single-block + tiny inputs route through the same code
+    small = bytes(bzip2.compress_file(data[:1000], None, 9))
+    assert bytes(decompress_file_mesh(small, mesh=m)) == data[:1000]
+
+
+def test_mesh_decode_corrupt_falls_back(ref_samples):
+    """A corrupted block must produce the sequential decoder's exact
+    error, not a silent wrong result."""
+    import pytest
+    from compressjs_tpu.codecs import bzip2
+    from compressjs_tpu.parallel.decode import decompress_file_mesh
+    from compressjs_tpu.parallel.mesh import make_mesh
+    data = bytes(ref_samples['sample4'])
+    comp = bytearray(bytes(bzip2.compress_file(data, None, 1)))
+    comp[len(comp) // 2] ^= 0xFF
+    m = make_mesh(jax.devices()[:min(8, jax.device_count())])
+    with pytest.raises(ValueError):
+        decompress_file_mesh(bytes(comp), mesh=m)
+
+
+def test_ragged_inverse_bwt_kernel():
+    """sharded_ragged_inverse_bwt inverts columns of distinct lengths."""
+    from compressjs_tpu.ops import bwt as bwt_ops
+    from compressjs_tpu.parallel.mesh import make_mesh, \
+        sharded_ragged_inverse_bwt
+    rng = np.random.RandomState(5)
+    cap = 2048
+    lengths = [2048, 1777, 513, 1]
+    Us = np.zeros((len(lengths), cap), dtype=np.uint8)
+    ns = np.array(lengths, dtype=np.int32)
+    pidxs = np.zeros(len(lengths), dtype=np.int32)
+    blocks = []
+    for i, L in enumerate(lengths):
+        blk = rng.randint(0, 40, size=L).astype(np.uint8)
+        U = np.zeros(L, dtype=np.uint8)
+        pidxs[i] = bwt_ops.bwtransform2(blk, U, L, 256)
+        Us[i, :L] = U
+        blocks.append(blk)
+    m = make_mesh(jax.devices()[:min(8, jax.device_count())])
+    out = np.asarray(sharded_ragged_inverse_bwt(m, Us, ns, pidxs))
+    for i, blk in enumerate(blocks):
+        assert (out[i, :len(blk)] == blk).all(), i
+        assert (out[i, len(blk):] == 0).all(), i
+
+
 def test_hetero_byte_parity(ref_samples):
     """Host workers + device pipeline sharing one block queue produce
     byte-identical output (parallel/hetero.py), in both device modes and
