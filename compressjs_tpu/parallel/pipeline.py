@@ -358,6 +358,120 @@ def compress_file_device(data, output=None, level=9, mode='hybrid',
                               batch=batch).compress(data, output)
 
 
+def bwtcp_compress_device(data, output=None, level=9, batch=8):
+    """BWTCP encode with the ENTIRE per-block body on device: EOF BWT,
+    MTF, RLE2, the adaptive FenwickModel and the Schindler range coder
+    all run as batched device kernels (ops.device_model /
+    ops.device_coder), seeded with the host coder's exported state after
+    the tiny header fields (length, pidx, usage tree) — the same
+    mid-stream seam the native C++ runtime uses.  Byte-identical to
+    BWTCP.compress_file at levels >= 6 (Fenwick blocks; levels <= 5
+    select DefSum and take the host path).
+
+    This is the SURVEY §7 step-5 milestone: the heap-layout Fenwick tree
+    as a device array driving the batched coder, consuming BWTCP's
+    independent per-block streams (`batch` lanes per dispatch)."""
+    import jax.numpy as jnp
+    from ..codecs import bwtcp as bwtcp_mod
+    from ..codecs.bwtc import _encode_usage_tree
+    from ..coders.range_coder import RangeCoder
+    from ..models.log_distance_model import LogDistanceModel
+    from ..models.no_model import NoModel
+    from ..ops import device_coder as dcoder
+    from ..ops import device_model as dmodel
+    from ..utils import util
+    from ..utils.stream import BufferStream
+
+    level = bwtcp_mod._level_of(level)
+    data = np.ascontiguousarray(data, dtype=np.uint8) \
+        if isinstance(data, np.ndarray) \
+        else np.frombuffer(bytes(data), dtype=np.uint8)
+    if level <= 5:
+        return bwtcp_mod.BWTCP.compress_file(data, output, level)
+    bs = level * 100000
+    blocks = [data[i:i + bs] for i in range(0, max(len(data), 1), bs)] \
+        if len(data) else []
+
+    full = [i for i, b in enumerate(blocks) if b.shape[0] == bs]
+    payloads = [None] * len(blocks)
+
+    for group_start in range(0, len(full), batch):
+        idxs = full[group_start:group_start + batch]
+        L = len(idxs)
+        stacked = jnp.asarray(np.stack([blocks[i] for i in idxs]))
+        U_all, pidx_all = jax.vmap(
+            lambda b: jk.bwt_eof_block(b, bs))(stacked)
+        pidx_np = np.asarray(pidx_all)
+        # host: header fields through the real models, then export the
+        # coder state for the device to continue
+        heads, states, Ns, remaps = [], [], [], []
+        for k, i in enumerate(idxs):
+            out = BufferStream()
+            enc = RangeCoder(out)
+            enc.encode_start(0, 0)
+            nm = NoModel.factory(enc)
+            len_model = LogDistanceModel(level * 100000, 0, nm, nm)
+            len_model.encode(bs)
+            len_model.encode(int(pidx_np[k]))
+            used = np.zeros(256, dtype=np.int64)
+            used[blocks[i]] = 1
+            _encode_usage_tree(enc, used)
+            alphabet = np.nonzero(used)[0]
+            remap = np.zeros(256, dtype=np.int32)
+            remap[alphabet] = np.arange(len(alphabet))
+            heads.append(out.buffer[:out.pos].copy())
+            states.append(enc.export_enc_state())
+            Ns.append(len(alphabet) + 2)   # model size asize+1
+            remaps.append(remap)
+        # device: MTF -> RLE2 (minus EOB) -> Fenwick -> coder -> bytes
+        T = bs + 1
+        dense = jax.vmap(lambda u, r: r[u.astype(jnp.int32)])(
+            U_all, jnp.asarray(np.stack(remaps)))
+        mtf = jax.vmap(lambda d: jk.mtf_encode(d, bs, 512, 256))(dense)
+        syms, counts, _ = jax.vmap(
+            lambda m: jk.rle2_encode(m, bs, jnp.int32(0)))(mtf)
+        valid = (jnp.arange(T)[None, :] <
+                 (counts - 1)[:, None])      # drop the EOB slot
+        sy, lt, tot, v = dmodel.fenwick_encode_streams(
+            syms, valid, jnp.asarray(np.array(Ns, np.int32)), 258,
+            bwtcp_mod.F_PROB_MAX, bwtcp_mod.F_PROB_INCR)
+        tok_cap = bs + (bs >> 2) + 64    # tokens <= final bytecount
+        tokens, tok_n, bc = dcoder.batched_range_encode(
+            sy, lt, tot, v, jnp.zeros(L, jnp.uint32),
+            jnp.zeros(L, jnp.uint32), tok_cap,
+            init_state=jnp.asarray(np.stack(states)))
+        tok_np = np.asarray(tok_n)
+        byts, lens = dcoder.token_bytes(tokens, tok_n, bc,
+                                        bs + (bs >> 1) + 4096)
+        byts = np.asarray(byts)
+        lens = np.asarray(lens)
+        for k, i in enumerate(idxs):
+            if tok_np[k] > tok_cap:      # token overflow: host fallback
+                continue
+            payloads[i] = np.concatenate(
+                [heads[k], byts[k, :lens[k]]]).astype(np.uint8)
+
+    for i, b in enumerate(blocks):
+        if payloads[i] is None:          # tail / overflow: host path
+            payloads[i] = bwtcp_mod._encode_block(b, level)
+
+    # container via the shared helper (byte-identical to
+    # bwtcp.compress_file by construction)
+    def guts(in_stream, out_stream, file_size, props, final_byte):
+        out_stream.write_byte(level)
+        util.write_unsigned_number(out_stream, len(payloads))
+        for p in payloads:
+            util.write_unsigned_number(out_stream, len(p))
+        for p in payloads:
+            if hasattr(out_stream, 'write_array'):
+                out_stream.write_array(np.asarray(p, dtype=np.uint8))
+            else:
+                out_stream.write(p, 0, len(p))
+
+    return util.compress_file_helper(bwtcp_mod.MAGIC, guts)(
+        data, output, level)
+
+
 class DeviceBWTCEncoder:
     """BWTC encoder with the per-block EOF-terminated BWT on device.
 
