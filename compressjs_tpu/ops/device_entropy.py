@@ -228,6 +228,198 @@ def alloc_lengths_dev(array, m, maximum_length=MAX_LEN):
     return lax.cond(m <= 2, small, full, array)
 
 
+# --- Pallas build of the allocator: the XLA lax.scan build above pays
+# ~20 us of loop machinery per step (258 steps x ~10 sequential builds
+# made the group-optimization stage ~100 ms of the fused block kernel);
+# a Pallas kernel runs the same scalar loops against an SMEM-resident
+# table at hardware loop cost.  Selected via alloc_impl='pallas' on
+# TPU; the lax build remains the CPU/test path.
+
+def _alloc_kernel(m_ref, arr_ref, out_ref):
+    import jax.experimental.pallas as pl
+    N_ = out_ref.shape[2]
+    m = m_ref[0, 0, 0]
+
+    # SMEM only supports scalar loads/stores (no full-array copy, and
+    # input_output_aliases aliases the HBM buffers, leaving the SMEM
+    # out block uninitialized) — seed out_ref element-wise.
+    def _cp(i, c):
+        out_ref[0, 0, i] = arr_ref[0, 0, i]
+        return c
+
+    lax.fori_loop(0, N_, _cp, jnp.int32(0))
+
+    def rd(i):
+        return out_ref[0, 0, i]
+
+    def wr(i, v):
+        out_ref[0, 0, i] = v
+
+    def first(i, nodes_to_move):
+        limit = i
+        k = m - 2
+
+        def c1(st):
+            i, k = st
+            return (i >= nodes_to_move) & \
+                (rd(jnp.clip(i, 0, N_ - 1)) % m > limit)
+
+        def b1(st):
+            i, k = st
+            return i - (limit - i + 1), i
+
+        i, k = lax.while_loop(c1, b1, (i, k))
+        i = jnp.maximum(nodes_to_move - 1, i)
+
+        def c2(st):
+            i, k = st
+            return k > i + 1
+
+        def b2(st):
+            i, k = st
+            mid = (i + k) >> 1
+            pred = rd(jnp.clip(mid, 0, N_ - 1)) % m > limit
+            return jnp.where(pred, i, mid), jnp.where(pred, mid, k)
+
+        i, k = lax.while_loop(c2, b2, (i, k))
+        return k
+
+    def fill_down(next_node, cnt, depth):
+        def body(j, nn):
+            wr(jnp.clip(nn, 0, N_ - 1), depth)
+            return nn - 1
+        return lax.fori_loop(0, jnp.maximum(cnt, 0), body, next_node)
+
+    def small(_):
+        @pl.when(m >= 1)
+        def _():
+            wr(0, 1)
+
+        @pl.when(m == 2)
+        def _():
+            wr(1, 1)
+
+    def full(_):
+        # phase 1: extended parent pointers
+        wr(0, rd(0) + rd(1))
+
+        def p1(tail, carry):
+            head, top = carry
+            a_head = rd(head)
+            a_top = rd(jnp.clip(top, 0, N_ - 1))
+            c1 = (top >= m) | (a_head < a_top)
+            total = jnp.where(c1, a_head, a_top)
+
+            @pl.when(c1)
+            def _():
+                wr(head, tail)
+            head1 = head + jnp.where(c1, 1, 0)
+            top1 = top + jnp.where(c1, 0, 1)
+            a_head1 = rd(jnp.clip(head1, 0, N_ - 1))
+            a_top1 = rd(jnp.clip(top1, 0, N_ - 1))
+            c2 = (top1 >= m) | ((head1 < tail) & (a_head1 < a_top1))
+            total = total + jnp.where(c2, a_head1, a_top1)
+
+            @pl.when(c2)
+            def _():
+                wr(head1, tail + m)
+            wr(tail, total)
+            return (head1 + jnp.where(c2, 1, 0),
+                    top1 + jnp.where(c2, 0, 1))
+
+        lax.fori_loop(1, m - 1, p1, (jnp.int32(0), jnp.int32(2)))
+
+        # phase 2: nodes to relocate
+        def p2c(st):
+            node, depth = st
+            return (depth < MAX_LEN - 1) & (node > 1)
+
+        def p2b(st):
+            node, depth = st
+            return first(node - 1, jnp.int32(0)), depth + 1
+
+        ntr, _ = lax.while_loop(p2c, p2b, (m - 2, jnp.int32(1)))
+
+        # phase 3
+        def alloc_plain(_):
+            def cond(st):
+                first_node, next_node, depth, available = st
+                return available > 0
+
+            def body(st):
+                first_node, next_node, depth, available = st
+                last_node = first_node
+                first_node = first(last_node - 1, jnp.int32(0))
+                cnt = available - (last_node - first_node)
+                next_node = fill_down(next_node, cnt, depth)
+                return (first_node, next_node, depth + 1,
+                        (last_node - first_node) << 1)
+
+            lax.while_loop(cond, body,
+                           (m - 2, m - 1, jnp.int32(1), jnp.int32(2)))
+
+        def alloc_reloc(_):
+            insert_depth = MAX_LEN - _bit_length(ntr - 1)
+            depth0 = jnp.where(insert_depth == 1, 2, 1).astype(jnp.int32)
+            ltm0 = jnp.where(insert_depth == 1, ntr - 2,
+                             ntr).astype(jnp.int32)
+
+            def cond(st):
+                first_node, next_node, depth, available, ltm = st
+                return available > 0
+
+            def body(st):
+                first_node, next_node, depth, available, ltm = st
+                last_node = first_node
+                searched = first(last_node - 1, ntr)
+                first_node = jnp.where(first_node <= ntr, first_node,
+                                       searched)
+                shift = jnp.clip(depth - insert_depth, 0, 30)
+                off_ge = jnp.minimum(ltm, jnp.int32(1) << shift)
+                offset = jnp.where(
+                    depth >= insert_depth, off_ge,
+                    jnp.where(depth == insert_depth - 1, 1, 0))
+                bump = (depth == insert_depth - 1) & \
+                    (rd(jnp.clip(first_node, 0, N_ - 1)) == last_node)
+                first_node = first_node + jnp.where(bump, 1, 0)
+                cnt = available - (last_node - first_node + offset)
+                next_node = fill_down(next_node, cnt, depth)
+                return (first_node, next_node, depth + 1,
+                        (last_node - first_node + offset) << 1,
+                        ltm - offset)
+
+            lax.while_loop(cond, body,
+                           (m - 2, m - 1, depth0, depth0 << 1, ltm0))
+
+        lax.cond(rd(0) % m >= ntr, alloc_plain, alloc_reloc, None)
+
+    lax.cond(m <= 2, small, full, None)
+
+
+def alloc_lengths_pallas(arrs, ms, interpret=False):
+    """Pallas build of alloc_lengths_dev over a batch: arrs (B, N) i32
+    sorted frequencies, ms (B,) logical lengths -> (B, N) lengths."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = arrs.shape[0]
+    out = pl.pallas_call(
+        _alloc_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+        interpret=interpret,
+    )(ms.astype(jnp.int32).reshape(-1, 1, 1),
+      arrs.astype(jnp.int32).reshape(B, 1, N))
+    return out.reshape(B, N)
+
+
 def code_lengths_from_freqs_dev(freq, m):
     """Device build of huffman_stages.code_lengths_from_freqs: sort
     (freq<<9|sym), allocate in place, invert the sort.  freq: (N,) i32
@@ -240,6 +432,29 @@ def code_lengths_from_freqs_dev(freq, m):
     lengths = jnp.zeros(N, dtype=jnp.int32)
     lengths = lengths.at[jnp.where(sym < m, merged & 0x1FF, N)].set(
         jnp.where(sym < m, arr, 0), mode='drop')
+    return lengths
+
+
+def code_lengths_batch(freqs, m, alloc_impl='xla'):
+    """Batched table builds: freqs (B, N) i32 -> (B, N) lengths.
+    alloc_impl='pallas' runs the allocator loops as a Pallas SMEM
+    kernel (TPU); 'xla' is the lax build (CPU tests, parity)."""
+    B = freqs.shape[0]
+    sym = jnp.arange(N, dtype=jnp.int32)[None, :]
+    merged = jnp.where(sym < m, (freqs << 9) | sym,
+                       jnp.int32(0x7FFFFFFF))
+    merged = lax.sort(merged, dimension=1)
+    arrs = jnp.where(sym < m, merged >> 9, 0)
+    if alloc_impl in ('pallas', 'pallas_interpret'):
+        arrs = alloc_lengths_pallas(
+            arrs, jnp.broadcast_to(jnp.asarray(m), (B,)),
+            interpret=(alloc_impl == 'pallas_interpret'))
+    else:
+        arrs = jax.vmap(lambda a: alloc_lengths_dev(a, m))(arrs)
+    lengths = jnp.zeros((B, N), dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    lengths = lengths.at[rows, jnp.where(sym < m, merged & 0x1FF, N)].set(
+        jnp.where(sym < m, arrs, 0), mode='drop')
     return lengths
 
 
@@ -305,8 +520,9 @@ def _rank_stable(keys, n):
     return ranks.at[order].set(jnp.arange(n, dtype=jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def optimize_groups_dev(syms, count, n_chunks, freq, m):
+@functools.partial(jax.jit, static_argnums=(2, 5))
+def optimize_groups_dev(syms, count, n_chunks, freq, m,
+                        alloc_impl='xla'):
     """Device build of huffman_stages.optimize_groups: returns
     (length_matrix (G, N) i32, n_groups i32, selectors (n_chunks,) i32,
     code_matrix (G, N) i32).  Rows >= n_groups are inactive.
@@ -333,10 +549,9 @@ def optimize_groups_dev(syms, count, n_chunks, freq, m):
     # zero out entries past the alphabet (they must not affect tables)
     fbuf = jnp.where(jnp.arange(N) < m, fbuf, 0)
     ones = jnp.ones(N, dtype=jnp.int32)
-    # one vmapped dispatch builds both initial tables (sequential build
+    # one batched dispatch builds both initial tables (sequential build
     # rounds are the expensive unit here)
-    row01 = jax.vmap(lambda f: code_lengths_from_freqs_dev(f, m))(
-        jnp.stack([fbuf, ones]))
+    row01 = code_lengths_batch(jnp.stack([fbuf, ones]), m, alloc_impl)
     row0, row1 = row01[0], row01[1]
     lens = jnp.stack([row0, row1] + [row1] * (G - 2))
 
@@ -361,8 +576,7 @@ def optimize_groups_dev(syms, count, n_chunks, freq, m):
             rank = _rank_stable(keys, n_chunks)
             sel = jnp.where(member & (rank >= (mcount >> 1)), g, sel)
             freqs = _freqs_by_group(hist_f, sel, valid_chunk)
-            new_lens = jax.vmap(
-                lambda f: code_lengths_from_freqs_dev(f, m))(freqs)
+            new_lens = code_lengths_batch(freqs, m, alloc_impl)
             keep = jnp.arange(G) <= g
             lens = jnp.where(keep[:, None], new_lens, lens)
             return lens, g + 1
@@ -388,8 +602,7 @@ def optimize_groups_dev(syms, count, n_chunks, freq, m):
         gcounts = jnp.sum(
             ((sel[:, None] == jnp.arange(G)[None, :]) &
              valid_chunk[:, None]).astype(jnp.int32), axis=0)
-        new_lens = jax.vmap(
-            lambda f: code_lengths_from_freqs_dev(f, m))(freqs)
+        new_lens = code_lengths_batch(freqs, m, alloc_impl)
         lens = jnp.where((active & (gcounts > 0))[:, None],
                          new_lens, lens)
         costs = _costs_from_hist(hist_f, lens, active)
@@ -486,8 +699,9 @@ def payload_pack_words_dev(syms, count, selectors, lens, codes, cap_bytes):
     return b.reshape(-1), total
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5))
-def encode_block_full(block, n, remap, eob, width=256, mtf_impl='xla'):
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+def encode_block_full(block, n, remap, eob, width=256, mtf_impl='xla',
+                      alloc_impl=None):
     """All-device bzip2 block encode: rotation sort -> BWT -> MTF ->
     RLE2 -> group optimization -> canonical tables -> packed payload.
     The host downloads only (pidx, payload prefix, lens, n_groups,
@@ -508,8 +722,10 @@ def encode_block_full(block, n, remap, eob, width=256, mtf_impl='xla'):
         mtf_seq = jk.mtf_encode(dense, n, 512, width)
     syms, count, freq = jk.rle2_encode(mtf_seq, n, eob)
     n_chunks = -(-(n + 1) // GROUP_SIZE)
+    if alloc_impl is None:
+        alloc_impl = 'pallas' if mtf_impl == 'pallas' else 'xla'
     lens, g, sel, codes = optimize_groups_dev(
-        syms, count, n_chunks, freq, eob + 1)
+        syms, count, n_chunks, freq, eob + 1, alloc_impl)
     payload, total_bits = payload_pack_words_dev(
         syms, count, sel, lens, codes, payload_cap_bytes(n))
     return pidx, payload, total_bits, lens, g, sel, count, freq

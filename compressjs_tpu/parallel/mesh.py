@@ -80,15 +80,49 @@ def sharded_block_encode(mesh, blocks, remaps, eobs):
     return jax.jit(f)(blocks, remaps, eobs)
 
 
+def sharded_block_encode_full(mesh, blocks, remaps, eobs):
+    """Encode B equal-length blocks ENTIRELY on the mesh — transforms
+    AND the static-Huffman entropy stage (ops.device_entropy
+    encode_block_full per lane), so no host entropy drain exists at all:
+    the host receives packed payload bytes plus header matrices.
+    Returns (pidx (B,), payload (B, cap) u8, bits (B,), lens (B, G, N),
+    n_groups (B,), selectors (B, nc), count (B,))."""
+    from ..ops import device_entropy as de
+    n = blocks.shape[1]
+    impl = 'pallas' if all(d.platform == 'tpu' for d in mesh.devices.flat) \
+        else 'xla'
+
+    def per_shard(blocks_s, remaps_s, eobs_s):
+        f = jax.vmap(lambda b, r, e: de.encode_block_full(
+            b, n, r, e, 256, impl))
+        pidx, payload, bits, lens, g, sel, count, freq = f(
+            blocks_s, remaps_s, eobs_s)
+        # exchange payload bit sizes across the mesh: the ordered-
+        # assembly manifest (every device learns all sizes via ICI)
+        all_bits = lax.all_gather(bits, 'dp', tiled=True)
+        return pidx, payload, bits, lens, g, sel, count, all_bits
+
+    f = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P('dp', None), P('dp', None), P('dp')),
+        out_specs=(P('dp'), P('dp', None), P('dp'), P('dp', None, None),
+                   P('dp'), P('dp', None), P('dp'), P(None)),
+        check_vma=False)
+    return jax.jit(f)(blocks, remaps, eobs)
+
+
 def mesh_compress_bzip2(mesh, data, level=9):
     """End-to-end data-parallel bzip2 encode over the mesh: host RLE1
-    block split -> shard_map transform (one block batch per device, DP
-    axis) -> ordered host gather -> entropy stages -> bit-concatenated
-    standard container.  Output is byte-identical to the host codec.
+    block split -> shard_map FULL block encode (transform + entropy per
+    device lane, sharded_block_encode_full) -> ordered host gather of
+    payload bytes + header matrices -> bit-concatenated standard
+    container.  Output is byte-identical to the host codec.
 
-    Equal-length full blocks ride the mesh; the odd-length tail (if any)
-    takes the native host path.  The all_gather'd size manifest inside
-    the shard program is the ordered-assembly contract."""
+    The round-1 design drained MTF/RLE2 symbols through the host
+    entropy stage sequentially after the gather; now the only host work
+    per block is writing ~100 header bits and splicing payload bits.
+    Equal-length full blocks ride the mesh; the odd-length tail (if
+    any) takes the native host path."""
     import numpy as np
     from ..codecs.bzip2 import WHOLEPI, SQRTPI
     from ..parallel import pipeline as pl
@@ -116,15 +150,20 @@ def mesh_compress_bzip2(mesh, data, level=9):
             raw.append(_pad_block(block_size))
         perm, inv = _ring_order(len(raw), n_dev)
         braw, remaps, eobs = prepare_blocks([raw[p] for p in perm])
-        pidx, syms, count, freq, _ = sharded_block_encode(
-            mesh, jnp.asarray(braw), jnp.asarray(remaps),
-            jnp.asarray(eobs))
+        pidx, payload, bits, lens, g, sel, count, _ = \
+            sharded_block_encode_full(
+                mesh, jnp.asarray(braw), jnp.asarray(remaps),
+                jnp.asarray(eobs))
         pidx = np.asarray(pidx)[inv]
-        syms = np.asarray(syms)[inv]
+        payload = np.asarray(payload)[inv]
+        bits = np.asarray(bits)[inv]
+        lens = np.asarray(lens)[inv]
+        g = np.asarray(g)[inv]
+        sel = np.asarray(sel)[inv]
         count = np.asarray(count)[inv]
-        freq = np.asarray(freq)[inv]
         for k, i in enumerate(idxs):
-            results[i] = (int(pidx[k]), syms[k], int(count[k]), freq[k])
+            results[i] = (int(pidx[k]), payload[k], int(bits[k]),
+                          lens[k], int(g[k]), sel[k], int(count[k]))
 
     o = coerce_output_stream(None)
     out = BitStream(o.stream)
@@ -134,23 +173,28 @@ def mesh_compress_bzip2(mesh, data, level=9):
     stream_crc = 0
     for i, (block, crc) in enumerate(blocks):
         used, alphabet_size, _ = pl._block_meta(block)
-        if i in results:
-            p, s, cnt, fq = results[i]
-        else:  # odd-length tail via the host transform
+        if i in results and \
+                results[i][2] <= results[i][1].shape[0] * 8:
+            p, pay, total_bits, lns, ng, slc, cnt = results[i]
+            header_bits = pl._device_block_header(
+                p, lns, ng, slc, cnt, alphabet_size, used)
+            payload_bits = np.unpackbits(
+                pay[:(total_bits + 7) // 8], count=total_bits)
+        else:  # odd-length tail (or payload-cap overflow) on the host
             from ..ops import bwt as bwt_ops
             n = block.shape[0]
             U = np.zeros(n, dtype=np.uint8)
             p = bwt_ops.bwtransform2(block, U, n, 256)
             alphabet = np.nonzero(used)[0].astype(np.uint8)
             s, fq = pl._mtf_rle2(U, alphabet, alphabet_size)
-            cnt = len(s)
-        header_bits, (payload, total_bits) = pl._finish_block(
-            block, p, s, cnt, fq, alphabet_size, used)
+            header_bits, (pay, total_bits) = pl._finish_block(
+                block, p, s, len(s), fq, alphabet_size, used)
+            payload_bits = np.unpackbits(pay, count=total_bits)
         stream_crc = stream_crc_combine(stream_crc, crc)
         out.write_bits(48, WHOLEPI)
         out.write_bits(32, crc)
         out.write_bit_array(header_bits)
-        out.write_bit_array(np.unpackbits(payload, count=total_bits))
+        out.write_bit_array(payload_bits)
     out.write_bits(48, SQRTPI)
     out.write_bits(32, stream_crc)
     out.flush()

@@ -70,3 +70,37 @@ def device_trace(logdir):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# v5e single-chip peaks for roofline accounting
+HBM_PEAK_GBS = 819.0
+
+
+def chain_throughput(body, init, n_bytes, iters=10, reps=2):
+    """Throughput of a device stage with transfers amortized: `iters`
+    chained applications inside ONE jit (the carry defeats DCE), timed
+    with a forced host fetch — block_until_ready does not wait over the
+    axon tunnel.  Returns (mb_per_s, hbm_fraction): achieved input
+    bytes/s and the fraction of HBM peak assuming one read+write of the
+    working set per stage (a LOWER bound on the stage's real traffic —
+    useful as a regression ratio, not an absolute MFU)."""
+    import jax
+    import numpy as np
+    from jax import lax
+
+    @jax.jit
+    def run(x):
+        return lax.fori_loop(0, iters, lambda i, c: body(c), x)
+
+    r = run(init)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = run(init)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        ts.append(time.perf_counter() - t0)
+    sec = min(ts) / iters
+    mbs = n_bytes / 1e6 / sec
+    hbm_frac = (2 * n_bytes / sec) / (HBM_PEAK_GBS * 1e9)
+    return mbs, hbm_frac

@@ -206,3 +206,36 @@ def test_optimize_groups_real_block():
     assert (dev_lens[:g, :m] == host_lens).all()
     nvc = -(-len(syms) // 50)
     assert (dev_sel[:nvc] == host_sel).all()
+
+
+@pytest.mark.parametrize('style', ['uniform', 'zipf', 'sparse', 'fib'])
+def test_alloc_lengths_pallas_matches_host(style):
+    """The Pallas (SMEM scalar-loop) allocator build, interpret mode —
+    bit-exactness on real TPU is covered by test_perf_regression."""
+    rng = np.random.default_rng(hash(style) % (2**32))
+    ms = [1, 2, 3, 17, 130, 258]
+    arrs = np.zeros((len(ms), de.N), dtype=np.int32)
+    hosts = []
+    for i, m in enumerate(ms):
+        freqs = np.sort(_rand_freqs(rng, m,
+                                    style if m >= 3 else 'uniform'))
+        host = list(freqs)
+        allocate_huffman_code_lengths(host, 20)
+        hosts.append(host)
+        arrs[i, :m] = freqs
+    got = np.asarray(de.alloc_lengths_pallas(
+        jnp.asarray(arrs), jnp.asarray(ms), interpret=True))
+    for i, m in enumerate(ms):
+        assert (got[i, :m] == np.asarray(hosts[i])).all(), (style, m)
+
+
+def test_code_lengths_batch_impls_agree():
+    rng = np.random.default_rng(7)
+    freqs = np.zeros((4, de.N), dtype=np.int32)
+    m = 200
+    for i in range(4):
+        freqs[i, :m] = rng.integers(0, 3000, size=m)
+    a = np.asarray(de.code_lengths_batch(jnp.asarray(freqs), m, 'xla'))
+    b = np.asarray(de.code_lengths_batch(
+        jnp.asarray(freqs), m, 'pallas_interpret'))
+    assert np.array_equal(a, b)
