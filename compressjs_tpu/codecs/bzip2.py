@@ -360,24 +360,13 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
-def _read_block_header(r, dbuf_size):
-    """Parse one block's header+symbols; returns (dbuf, crc) or None on the
-    stream-end magic (reference _get_next_block, Bzip2.js:125-398)."""
-    h = r.read_bits(48)
-    if h == SQRTPI:
-        return None
-    if h != WHOLEPI:
-        _throw(Err.NOT_BZIP_DATA)
-    target_crc = r.read_bits(32)
-    # full-native fast path: header parse + symbol decode in one call;
-    # any anomaly falls through to the Python parser below, which
-    # reproduces the reference's exact error behavior (and acceptance
-    # of degenerate blocks)
-    if _native is not None and _native.available():
-        res = _native.bz2_block_full(r.data, r.pos, dbuf_size)
-        if res is not None:
-            dbuf, orig_pointer, r.pos = res
-            return dbuf, orig_pointer, target_crc
+def _parse_block_header(r, dbuf_size):
+    """Parse one block header (after magic+CRC) up to the first symbol
+    bit: randomized flag, origPtr, symbol map, selectors, Huffman tables
+    (reference Bzip2.js:137-275).  Returns (orig_pointer, sym_to_byte,
+    selectors, groups) with r.pos left at the first symbol bit; groups
+    are _decode_tables tuples.  Shared by the Python walk and the device
+    Huffman walk (ops/device_huffman.py)."""
     if r.read_bits(1):
         _throw(Err.OBSOLETE_INPUT)
     orig_pointer = r.read_bits(24)
@@ -447,6 +436,32 @@ def _read_block_header(r, dbuf_size):
                     t -= 1
             lengths[i] = t
         groups.append(_decode_tables(lengths, sym_count))
+    return orig_pointer, sym_to_byte, selectors, groups
+
+
+def _read_block_header(r, dbuf_size):
+    """Parse one block's header+symbols; returns (dbuf, crc) or None on the
+    stream-end magic (reference _get_next_block, Bzip2.js:125-398)."""
+    h = r.read_bits(48)
+    if h == SQRTPI:
+        return None
+    if h != WHOLEPI:
+        _throw(Err.NOT_BZIP_DATA)
+    target_crc = r.read_bits(32)
+    # full-native fast path: header parse + symbol decode in one call;
+    # any anomaly falls through to the Python parser below, which
+    # reproduces the reference's exact error behavior (and acceptance
+    # of degenerate blocks)
+    if _native is not None and _native.available():
+        res = _native.bz2_block_full(r.data, r.pos, dbuf_size)
+        if res is not None:
+            dbuf, orig_pointer, r.pos = res
+            return dbuf, orig_pointer, target_crc
+    orig_pointer, sym_to_byte, selectors, groups = _parse_block_header(
+        r, dbuf_size)
+    sym_total = len(sym_to_byte)
+    group_count = len(groups)
+    n_selectors = len(selectors)
 
     # symbol decode loop (RLE2+MTF undo into dbuf); the native runtime
     # runs this canonical-Huffman walk at C speed when present

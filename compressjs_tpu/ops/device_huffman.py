@@ -1,0 +1,204 @@
+"""Device canonical-Huffman symbol decode for bzip2 blocks.
+
+The reference decodes symbols with a sequential bit-by-bit table walk
+(Bzip2.js:288-361): read min_len bits, extend while the running value
+exceeds ``limit[len]``, then look the symbol up through base/permute.
+That loop is length-n sequential.  The TPU build inverts it into four
+parallel stages:
+
+1. **Speculative decode at every bit offset.**  For each offset ``p``
+   and each Huffman group ``g``, the canonical-code property gives the
+   code length directly: it is the smallest ``L >= min_len[g]`` with
+   ``bits[p:p+L] <= limit[g][L]``.  This is 20 vectorized
+   compare/selects over the whole payload — no walk, no data
+   dependence.  From it, ``nxt_g[p] = p + len_g[p]`` is the "if a
+   symbol starts at p under table g, the next starts at nxt_g[p]" map.
+2. **50th-power composition.**  Tables switch every GROUP_SIZE=50
+   symbols (the selector list), so the only transition needed between
+   chunk boundaries is ``nxt_g`` applied 50 times.  Pointer doubling
+   builds ``F_g = nxt_g^50`` in ceil(log2(50)) + popcount(50) - 1
+   gathers per group.
+3. **Selector chase.**  Chunk-boundary bit positions follow
+   ``p[c+1] = F[sel[c]][p[c]]`` — one short ``lax.scan`` over the
+   ~n/50 selectors (the only sequential stage left: ~18K steps for a
+   900 KB block instead of ~900K bit-walk steps).
+4. **Chunk-parallel symbol walk.**  With all chunk start offsets
+   known, every chunk decodes its 50 symbols in lock-step: a 50-step
+   scan whose state is the per-chunk bit cursor (all chunks advance
+   together), each step a handful of small gathers.
+
+The output is the raw bzip2 symbol stream (RUNA=0/RUNB=1, literal
+j+1, EOB) plus the EOB index and the exact end bit — exactly what
+`jax_kernels.rle2_decode` + `mtf_decode` + the device inverse BWT
+consume, so a block's payload never needs a host entropy pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+MAX_CODE_BITS = 20     # bzip2 code lengths are 1..20 (MAX_HUFCODE_BITS)
+GROUP_SIZE = 50
+BIG_LIMIT = (1 << 28)  # stands in for the reference's int64-max sentinel
+
+
+def payload_words(payload_bytes, n_words):
+    """Pack payload bytes into MSB-first uint32 words, zero-padded (reads
+    past the end of data yield zero bits, BitStream.js:86-89)."""
+    b = payload_bytes.astype(jnp.uint32)
+    cap = n_words * 4
+    take = min(b.shape[0], cap)
+    b = jnp.zeros(cap, dtype=jnp.uint32).at[:take].set(b[:take])
+    q = b.reshape(n_words, 4)
+    return (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
+
+
+def _window_vals(words, bit0, nbits):
+    """val[p] = the MAX_CODE_BITS bits starting at bit ``bit0 + p`` of
+    the word array, as the high bits of a right-aligned int32."""
+    p = jnp.arange(nbits, dtype=jnp.int32) + bit0
+    wi = p >> 5
+    sh = (p & 31).astype(jnp.uint32)
+    nw = words.shape[0]
+    left = jnp.where(wi < nw, words[jnp.clip(wi, 0, nw - 1)], 0)
+    right = jnp.where(wi + 1 < nw, words[jnp.clip(wi + 1, 0, nw - 1)], 0)
+    lo = jnp.where(sh > 0, right >> ((32 - sh) & 31), 0)
+    return (((left << sh) | lo) >> (32 - MAX_CODE_BITS)).astype(jnp.int32)
+
+
+def _group_lengths(val, limit_row, min_len):
+    """Code length at every offset under one group's table: the smallest
+    L >= min_len with (val >> (W-L)) <= limit[L].  Offsets where no
+    valid code fits (corrupt data / zero padding) get MAX_CODE_BITS and
+    are caught by the caller's CRC check."""
+    ln = jnp.full(val.shape, MAX_CODE_BITS, dtype=jnp.int32)
+    found = jnp.zeros(val.shape, dtype=jnp.bool_)
+    for L in range(1, MAX_CODE_BITS + 1):
+        j = val >> (MAX_CODE_BITS - L)
+        ok = (L >= min_len) & (j <= limit_row[L])
+        ln = jnp.where(ok & ~found, L, ln)
+        found = found | ok
+    return ln
+
+
+def _power50(nxt, cap):
+    """nxt composed GROUP_SIZE times, by binary powering (50 = 32+16+2)."""
+    powers = []
+    b, kk = nxt, 1
+    while kk <= GROUP_SIZE:
+        powers.append((kk, b))
+        if kk * 2 <= GROUP_SIZE:
+            b = b[b]
+        kk *= 2
+    out, need = None, GROUP_SIZE
+    for kk, arr in reversed(powers):
+        if kk <= need:
+            out = arr if out is None else arr[out]
+            need -= kk
+    assert need == 0
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
+                     limits, bases, permutes, min_lens, selectors,
+                     n_selectors, eob):
+    """Decode a bzip2 block's Huffman payload into its symbol stream.
+
+    payload_bytes: uint8, the data from the byte containing the first
+        symbol bit; ``bit0`` = that bit's offset within the first byte.
+    nbits_cap / s_cap: static caps on payload bits and selector count.
+    limits (G, MAX+2), bases (G, MAX+1), permutes (G, 258), min_lens
+    (G,): int32 per-group decode tables (bzip2._decode_tables, with the
+    int64 sentinel clamped to BIG_LIMIT).
+    selectors (>= s_cap,) int32, n_selectors: per-chunk group choices.
+    eob: the end-of-block symbol value (sym_total + 1).
+
+    Returns (syms int32[s_cap*50], count, end_bit): the symbol stream,
+    the EOB's flat index (== symbol count before EOB), and the bit
+    offset just past the EOB relative to payload_bytes' bit 0.
+    """
+    n_words = (nbits_cap + MAX_CODE_BITS + 31) // 32 + 1
+    words = payload_words(payload_bytes, n_words)
+    val = _window_vals(words, bit0, nbits_cap)
+    pos0 = jnp.arange(nbits_cap, dtype=jnp.int32)
+
+    F = jnp.stack([
+        _power50(jnp.clip(pos0 + _group_lengths(val, limits[g],
+                                                min_lens[g]),
+                          0, nbits_cap - 1), nbits_cap)
+        for g in range(n_groups)])
+
+    # selector chase: val-relative chunk-boundary bit offsets
+    sel_arr = selectors[:s_cap].astype(jnp.int32)
+
+    def chase(p, sel):
+        return F[sel, p], p
+
+    _, starts = lax.scan(chase, jnp.int32(0), sel_arr)
+
+    # chunk-parallel 50-symbol walk.  Per-lane tables are gathered once;
+    # permute lookups go through a flat index (lane tables are small but
+    # re-gathering 258-wide rows every step would be ~1 GB of traffic).
+    lim_l = limits[sel_arr]          # (s_cap, MAX+2)
+    base_l = bases[sel_arr]          # (s_cap, MAX+1)
+    ml_l = min_lens[sel_arr]         # (s_cap,)
+    perm_flat = permutes.reshape(-1)
+    perm_w = permutes.shape[1]
+
+    def step(pos, _):
+        vp = val[pos]
+        ln = jnp.full(vp.shape, MAX_CODE_BITS, dtype=jnp.int32)
+        found = jnp.zeros(vp.shape, dtype=jnp.bool_)
+        for L in range(1, MAX_CODE_BITS + 1):
+            ok = (L >= ml_l) & ((vp >> (MAX_CODE_BITS - L)) <=
+                                lim_l[:, L])
+            ln = jnp.where(ok & ~found, L, ln)
+            found = found | ok
+        j = (vp >> (MAX_CODE_BITS - ln)) - jnp.take_along_axis(
+            base_l, ln[:, None], axis=1)[:, 0]
+        sym = perm_flat[sel_arr * perm_w +
+                        jnp.clip(j, 0, perm_w - 1)]
+        nxt = jnp.clip(pos + ln, 0, nbits_cap - 1)
+        return nxt, (sym, pos + ln)
+
+    _, (sym_steps, end_steps) = lax.scan(
+        step, starts, None, length=GROUP_SIZE)
+    syms = sym_steps.T.reshape(-1)                  # (s_cap*50,)
+    ends = end_steps.T.reshape(-1)
+    valid_chunk = jnp.arange(s_cap, dtype=jnp.int32) < n_selectors
+    flat_valid = jnp.repeat(valid_chunk, GROUP_SIZE,
+                            total_repeat_length=s_cap * GROUP_SIZE)
+    is_eob = (syms == eob) & flat_valid
+    count = jnp.argmax(is_eob).astype(jnp.int32)
+    end_bit = ends[count] + bit0
+    return syms, count, end_bit
+
+
+def tables_for_device(groups, n_groups):
+    """Stack bzip2._decode_tables outputs into the padded int32 arrays
+    huffman_walk_dev takes (the int64 limit sentinel clamps to
+    BIG_LIMIT; j values are < 2^20 so any value > 2^20 is 'never')."""
+    limits = np.full((n_groups, MAX_CODE_BITS + 2), -1, dtype=np.int64)
+    bases = np.zeros((n_groups, MAX_CODE_BITS + 1), dtype=np.int64)
+    perms = np.zeros((n_groups, 258), dtype=np.int32)
+    mins = np.zeros(n_groups, dtype=np.int32)
+    for g, (min_len, max_len, limit, base, permute) in enumerate(groups):
+        lim = np.asarray(limit[:MAX_CODE_BITS + 2], dtype=np.int64)
+        limits[g, :lim.shape[0]] = lim
+        ba = np.asarray(base[:MAX_CODE_BITS + 1], dtype=np.int64)
+        bases[g, :ba.shape[0]] = ba
+        pe = np.asarray(permute[:258], dtype=np.int32)
+        perms[g, :pe.shape[0]] = pe
+        mins[g] = min_len
+        # lengths below min_len must never match
+        limits[g, :min_len] = -1
+    limits = np.clip(limits, -1, BIG_LIMIT).astype(np.int32)
+    bases = np.clip(bases, -(1 << 28), BIG_LIMIT).astype(np.int32)
+    return (jnp.asarray(limits), jnp.asarray(bases), jnp.asarray(perms),
+            jnp.asarray(mins))
