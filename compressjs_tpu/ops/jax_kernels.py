@@ -370,10 +370,14 @@ def mtf_encode(data, n, chunk_len=512, width=256):
     updates all chunks' width-entry position tables at once.  `width` is
     the alphabet bucket (64/128/256): the scan's work is linear in it.
 
-    chunk_len=512 measured fastest on v5e for 900 KB blocks (7.9 MB/s vs
-    3.4 at 2048, 6.9 at 256): shorter chunks mean more parallel lanes
-    and fewer sequential scan steps, until start-state composition and
-    per-step overhead win below ~512."""
+    The per-step update is pure vector math on a uint8 state: positions
+    are < 256 so the state is u8 (4x less scan traffic than i32); the
+    coded index comes from a masked max instead of a per-row gather and
+    the front-move from a masked select instead of a 1-element scatter.
+    Measured on v5e, 900 KB block: 45.1 -> 31.7 ms vs the i32
+    gather/scatter step; a K-wide unrolled step was tried and REJECTED
+    (50.3 ms at K=8 — the scan is traffic-bound, not step-count-bound,
+    and unrolling only grows the live set)."""
     n_chunks = -(-n // chunk_len)
     padded = n_chunks * chunk_len
     # pad with symbol 0 (harmless: outputs past n are discarded)
@@ -381,18 +385,20 @@ def mtf_encode(data, n, chunk_len=512, width=256):
     d = d.at[:n].set(data[:n].astype(jnp.int32))
     chunks = d.reshape(n_chunks, chunk_len)
 
-    starts = _chunk_start_positions(chunks, n_chunks, chunk_len, width)
+    starts = _chunk_start_positions(chunks, n_chunks, chunk_len,
+                                    width).astype(jnp.uint8)
+    sym_iota = jnp.arange(width, dtype=jnp.int32)[None, :]
 
-    def step(pos, syms):
-        # pos: (n_chunks, 256); syms: (n_chunks,) this step's symbol
-        j = jnp.take_along_axis(pos, syms[:, None], axis=1)[:, 0]
-        bump = (pos < j[:, None]).astype(jnp.int32)
-        pos = pos + bump
-        pos = pos.at[jnp.arange(n_chunks), syms].set(0)
+    def step(pos, s):
+        # pos: (n_chunks, width) u8; s: (n_chunks,) this step's symbol
+        hit = sym_iota == s[:, None]
+        j = jnp.max(jnp.where(hit, pos, jnp.uint8(0)), axis=1)
+        pos = jnp.where(hit, jnp.uint8(0),
+                        pos + (pos < j[:, None]).astype(jnp.uint8))
         return pos, j
 
     _, outs = lax.scan(step, starts, chunks.T)  # scan over chunk_len
-    return outs.T.reshape(padded)[:n]
+    return outs.T.reshape(padded)[:n].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +523,9 @@ def mtf_decode(indices, n, chunk_len=512, width=256):
     list is a permutation determined ONLY by the chunk's indices, so
     per-chunk permutations are built in parallel, chunk-start lists come
     from one associative composition scan, and all chunks then decode in
-    parallel.  Returns dense symbol values int32[n]."""
+    parallel.  Permutation state is uint8 with masked-select updates
+    (same constants as mtf_encode).  Returns dense symbol values
+    int32[n]."""
     n_chunks = -(-n // chunk_len)
     padded = n_chunks * chunk_len
     d = jnp.zeros(padded, dtype=jnp.int32)
@@ -526,36 +534,38 @@ def mtf_decode(indices, n, chunk_len=512, width=256):
 
     pos = jnp.arange(width, dtype=jnp.int32)[None, :]
 
-    def perm_step(perm, js):
+    def mtf_at(perm, js):
         # move-to-front at index js (per chunk): new[0] = old[j],
         # new[1..j] = old[0..j-1], new[j+1..] = old[j+1..]
+        hit = pos == js[:, None]
+        out = jnp.max(jnp.where(hit, perm, jnp.uint8(0)), axis=1)
         shifted = jnp.roll(perm, 1, axis=1)
-        newperm = jnp.where(pos == 0,
-                            jnp.take_along_axis(perm, js[:, None],
-                                                axis=1),
-                            jnp.where(pos <= js[:, None], shifted, perm))
-        return newperm, None
+        return jnp.where(pos == 0, out[:, None],
+                         jnp.where(pos <= js[:, None], shifted,
+                                   perm)), out
 
-    init = jnp.broadcast_to(jnp.arange(width, dtype=jnp.int32)[None, :],
-                            (n_chunks, width))
+    def perm_step(perm, js):
+        perm, _ = mtf_at(perm, js)
+        return perm, None
+
+    init = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.int32).astype(jnp.uint8)[None, :],
+        (n_chunks, width))
     chunk_perm, _ = lax.scan(perm_step, init, chunks.T)
 
     # exclusive composition scan: list_before_c = L0[pi_1][pi_2]...
     def compose(a, b):
-        return jnp.take_along_axis(a, b, axis=1)
+        return jnp.take_along_axis(a, b.astype(jnp.int32), axis=1)
 
     inclusive = lax.associative_scan(compose, chunk_perm, axis=0)
     start_lists = jnp.concatenate([init[:1], inclusive[:-1]], axis=0)
 
     def decode_step(lists, js):
-        out = jnp.take_along_axis(lists, js[:, None], axis=1)[:, 0]
-        shifted = jnp.roll(lists, 1, axis=1)
-        lists = jnp.where(pos == 0, out[:, None],
-                          jnp.where(pos <= js[:, None], shifted, lists))
+        lists, out = mtf_at(lists, js)
         return lists, out
 
     _, outs = lax.scan(decode_step, start_lists, chunks.T)
-    return outs.T.reshape(padded)[:n]
+    return outs.T.reshape(padded)[:n].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -133,17 +133,83 @@ def _parse_candidates(data):
     return dbuf_size, first_block_pos, candidates
 
 
+def _pow2_at_least(x, lo):
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def _device_entropy_at(data, pos, bound, dbuf_size):
+    """Decode one candidate block's symbols on device: host parses the
+    (tiny) header, ops/device_huffman runs the parallel canonical-
+    Huffman walk, and rle2_decode + mtf_decode rebuild the BWT column —
+    no host pass over the payload.  `bound` is the next candidate/end
+    magic bit position (the symbol stream cannot extend past it).
+    Returns (dbuf, orig_pointer, target_crc, end_bit) or None."""
+    import jax.numpy as jnp
+    from ..ops import device_huffman as dh
+    from ..ops import jax_kernels as jk
+
+    rr = bz._BitReader(data)
+    rr.seek_bit(pos)
+    if rr.read_bits(48) != bz.WHOLEPI:
+        return None
+    target_crc = rr.read_bits(32)
+    try:
+        orig_ptr, sym_to_byte, selectors, groups = bz._parse_block_header(
+            rr, dbuf_size)
+    except ValueError:
+        return None
+    sym_start = rr.pos
+    if bound <= sym_start:
+        return None
+    byte0 = sym_start >> 3
+    bit0 = sym_start & 7
+    nbits_cap = _pow2_at_least(bound - sym_start + 1, 1 << 12)
+    s_cap = _pow2_at_least(len(selectors), 64)
+    payload = jnp.asarray(
+        data[byte0:byte0 + ((nbits_cap + bit0 + 7) >> 3) + 8])
+    limits, bases, perms, mins = dh.tables_for_device(groups, len(groups))
+    sel = jnp.zeros(s_cap, dtype=jnp.int32).at[:len(selectors)].set(
+        jnp.asarray(selectors, dtype=jnp.int32))
+    eob = len(sym_to_byte) + 1
+    syms, count, end_bit = dh.huffman_walk_dev(
+        payload, bit0, int(nbits_cap), int(s_cap), len(groups),
+        limits, bases, perms, mins, sel, jnp.int32(len(selectors)),
+        jnp.int32(eob))
+    end_bit = int(end_bit) + byte0 * 8
+    count = int(count)
+    if count == 0 or end_bit > bound:
+        return None
+    idx, total = jk.rle2_decode(syms, dbuf_size, jnp.int32(count))
+    total = int(total)
+    if not (0 < total <= dbuf_size) or orig_ptr >= total:
+        return None
+    dense = jk.mtf_decode(idx, dbuf_size)
+    s2b = np.zeros(256, dtype=np.uint8)
+    s2b[:len(sym_to_byte)] = sym_to_byte
+    dbuf = s2b[np.asarray(dense)[:total]]
+    return dbuf, orig_ptr, target_crc, end_bit
+
+
 def decompress_file_mesh(input_data, output=None, mesh=None,
-                         n_workers=None):
-    """Mesh-parallel bzip2 decode: the host's native canonical-Huffman
-    walk parses headers+symbols per candidate block (thread pool — the
-    walk is inherently bit-serial, see ARCHITECTURE.md), the DEVICE mesh
-    inverts the ragged BWT columns (sharded_ragged_inverse_bwt — the
-    pointer-chase walk as log-round orbit doubling per lane), and the
-    host undoes RLE1 + checks CRCs.  RLE1-undo stays host-side by
-    design: the pre-RLE1 form is the smaller one, so the device->host
-    transfer happens at the smallest point in the pipeline.  Falls back
-    to the sequential decoder on any anomaly — byte-exact either way."""
+                         n_workers=None, entropy='host'):
+    """Mesh-parallel bzip2 decode: per-candidate-block symbol decode,
+    then the DEVICE mesh inverts the ragged BWT columns
+    (sharded_ragged_inverse_bwt — the pointer-chase walk as log-round
+    orbit doubling per lane), and the host undoes RLE1 + checks CRCs.
+
+    entropy='host' (default): the native canonical-Huffman walk parses
+    headers+symbols per candidate on a thread pool.
+    entropy='device': only the tiny header parse stays on the host; the
+    payload never sees a host loop — ops/device_huffman's parallel walk
+    + device rle2_decode/mtf_decode rebuild each BWT column in HBM.
+
+    RLE1-undo stays host-side by design: the pre-RLE1 form is the
+    smaller one, so the device->host transfer happens at the smallest
+    point in the pipeline.  Falls back to the sequential decoder on any
+    anomaly — byte-exact either way."""
     from ..ops import rle as rle_ops
     from ..utils.crc32 import crc32_bzip2
     from .mesh import make_mesh, sharded_ragged_inverse_bwt
@@ -166,9 +232,30 @@ def decompress_file_mesh(input_data, output=None, mesh=None,
         dbuf, orig_pointer, target_crc = res
         return dbuf, orig_pointer, target_crc, rr.tell_bit()
 
-    n_workers = n_workers or min(8, 2 * (os.cpu_count() or 2))
-    with ThreadPoolExecutor(n_workers) as ex:
-        results = list(ex.map(parse_at, candidates))
+    if entropy == 'device':
+        end_hits = _scan_magic(data, _END_MAGIC_BITS)
+        end_bound = int(end_hits[end_hits >= first_block_pos][0])
+        results = []
+        for i, p in enumerate(candidates):
+            # a true block's symbols end exactly at the next TRUE magic;
+            # a false-positive candidate in between makes the first
+            # bound too tight, so escalate to the stream end bound
+            # (bounded at 64 Mbit to keep speculative arrays sane —
+            # larger means this candidate takes the fallback path).
+            res = None
+            tries = [candidates[i + 1] if i + 1 < len(candidates)
+                     else end_bound]
+            if tries[0] != end_bound and end_bound - p <= (64 << 20):
+                tries.append(end_bound)
+            for bound in tries:
+                res = _device_entropy_at(data, p, bound, dbuf_size)
+                if res is not None:
+                    break
+            results.append(res)
+    else:
+        n_workers = n_workers or min(8, 2 * (os.cpu_count() or 2))
+        with ThreadPoolExecutor(n_workers) as ex:
+            results = list(ex.map(parse_at, candidates))
 
     by_pos = {}
     for pos, res in zip(candidates, results):

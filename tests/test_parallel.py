@@ -148,6 +148,36 @@ def test_mesh_decode_byte_parity(ref_samples):
     assert bytes(decompress_file_mesh(small, mesh=m)) == data[:1000]
 
 
+def test_mesh_decode_device_entropy(ref_samples):
+    """entropy='device': parallel canonical-Huffman walk + device
+    RLE2/MTF undo + mesh inverse BWT — no host pass over payloads."""
+    import jax
+    from compressjs_tpu.codecs.bzip2 import compress_file
+    from compressjs_tpu.parallel.decode import decompress_file_mesh
+    from compressjs_tpu.parallel.mesh import make_mesh
+    data = bytes(ref_samples['sample4'][:350000])
+    comp = compress_file(data, None, 1)  # 4 blocks
+    m = make_mesh(jax.devices()[:4])
+    assert bytes(decompress_file_mesh(comp, mesh=m,
+                                      entropy='device')) == data
+
+
+def test_mesh_decode_device_entropy_corrupt_falls_back(ref_samples):
+    """Payload corruption must still produce the sequential decoder's
+    error, not wrong output, through the device-entropy path."""
+    import jax
+    import pytest
+    from compressjs_tpu.codecs.bzip2 import compress_file
+    from compressjs_tpu.parallel.decode import decompress_file_mesh
+    from compressjs_tpu.parallel.mesh import make_mesh
+    data = bytes(ref_samples['sample1'][:120000])
+    comp = bytearray(compress_file(data, None, 1))
+    comp[len(comp) // 2] ^= 0xFF
+    m = make_mesh(jax.devices()[:2])
+    with pytest.raises(ValueError):
+        decompress_file_mesh(bytes(comp), mesh=m, entropy='device')
+
+
 def test_mesh_decode_corrupt_falls_back(ref_samples):
     """A corrupted block must produce the sequential decoder's exact
     error, not a silent wrong result."""
