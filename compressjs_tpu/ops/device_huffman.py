@@ -180,6 +180,33 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     return syms, count, end_bit
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def decode_block_full_dev(payload_bytes, bit0, nbits_cap, s_cap,
+                          n_groups, dbuf_cap, out_cap,
+                          limits, bases, permutes, min_lens, selectors,
+                          n_selectors, eob, sym_to_byte, pidx):
+    """All-device bzip2 block decode: parallel Huffman walk -> RLE2
+    undo -> MTF undo -> used-alphabet map -> inverse BWT -> RLE1 undo.
+    The mirror of device_entropy.encode_block_full: the host supplies
+    the (tiny) parsed header and downloads only the final bytes.
+
+    Returns (out uint8[out_cap], out_count, end_bit).  `pidx` is the
+    block's origPtr; `out_cap` bounds the RLE1-expanded size (callers
+    that know block sizes — e.g. via table() — can pass a tight cap).
+    Corrupt payloads produce wrong bytes, caught by the caller's CRC."""
+    from . import jax_kernels as jk
+    syms, count, end_bit = huffman_walk_dev(
+        payload_bytes, bit0, nbits_cap, s_cap, n_groups, limits, bases,
+        permutes, min_lens, selectors, n_selectors, eob)
+    idx, total = jk.rle2_decode(syms, dbuf_cap, count)
+    dense = jk.mtf_decode(idx, dbuf_cap)
+    U = sym_to_byte[dense]
+    packed = jk.inverse_bwt_block_masked(U, dbuf_cap, total,
+                                         jnp.minimum(pidx, total - 1))
+    out, out_count = jk.rle1_decode_dev(packed, out_cap, total)
+    return out, out_count, end_bit
+
+
 def tables_for_device(groups, n_groups):
     """Stack bzip2._decode_tables outputs into the padded int32 arrays
     huffman_walk_dev takes (the int64 limit sentinel clamps to

@@ -517,6 +517,50 @@ def rle2_decode(syms, out_cap, count):
     return out, total
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def rle1_decode_dev(block, out_cap, count):
+    """Undo bzip2 RLE1 on device: after 4 consecutive equal bytes the
+    next byte is an extras count (Bzip2.js:405-439 semantics).
+
+    Whether byte i is a count byte is decided by a 5-state DFA whose
+    per-position transition depends only on eq[i] = (b[i] == b[i-1]):
+    states 1..4 = current same-value run phase, 0 = "this byte is the
+    count".  Each position's transition is one of two fixed 5-entry
+    lookup tables, and function composition of lookup tables is
+    associative — so the whole state sequence comes from one
+    `lax.associative_scan` instead of a byte loop.  Expansion then uses
+    the same producer-covering scatter-max as rle2_decode.
+
+    block: uint8[cap] with `count` valid bytes; out_cap: static output
+    capacity.  Returns (out uint8[out_cap], out_count)."""
+    n = block.shape[0]
+    b = block.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+    eq = jnp.concatenate([jnp.zeros(1, jnp.bool_), b[1:] == b[:-1]])
+    f_eq = jnp.array([1, 2, 3, 4, 0], dtype=jnp.int8)
+    f_ne = jnp.array([1, 1, 1, 1, 0], dtype=jnp.int8)
+    maps = jnp.where(eq[:, None], f_eq[None, :], f_ne[None, :])
+
+    def compose(a, c):
+        return jnp.take_along_axis(c, a.astype(jnp.int32), axis=1)
+
+    states = lax.associative_scan(compose, maps, axis=0)[:, 1]
+    is_count = (states == 0) & valid
+    prev_val = jnp.concatenate([b[:1], b[:-1]])
+    out_cnt = jnp.where(is_count, b, jnp.where(valid, 1, 0))
+    vals = jnp.where(is_count, prev_val, b)
+    offsets = jnp.cumsum(out_cnt) - out_cnt
+    total = jnp.sum(out_cnt)
+    out_idx = jnp.arange(out_cap, dtype=jnp.int32)
+    mark = jnp.zeros(out_cap + 1, dtype=jnp.int32)
+    mark = mark.at[jnp.where(out_cnt > 0, offsets, out_cap + 1)].max(
+        idx, mode='drop')
+    iat = lax.associative_scan(jnp.maximum, mark[:out_cap])
+    out = jnp.where(out_idx < total, vals[iat], 0).astype(jnp.uint8)
+    return out, total
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def mtf_decode(indices, n, chunk_len=512, width=256):
     """Invert mtf_encode on device: the effect of a chunk on the MTF

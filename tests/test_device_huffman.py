@@ -116,6 +116,62 @@ def test_walk_padded_caps():
     assert end_bit == ref_end
 
 
+def test_rle1_decode_dev_matches_host():
+    from compressjs_tpu.ops import rle as rle_ops
+    rng = np.random.default_rng(1)
+    cases = [
+        np.frombuffer(b'aaaaXbbbb\x00cc', np.uint8),
+        np.frombuffer(b'aaaa\x05', np.uint8),
+        np.frombuffer(b'aaaaaaaa', np.uint8),  # count byte == run byte
+        rng.integers(0, 4, 5000).astype(np.uint8),
+        np.repeat(np.arange(30, dtype=np.uint8),
+                  rng.integers(1, 600, 30)),
+    ]
+    data = np.fromfile('/root/reference/test/sample4.ref', np.uint8)
+    blk, _ = rle_ops.rle1_encode(data, 0, 100000 - 19)
+    cases.append(blk)
+    for i, c in enumerate(cases):
+        ref = rle_ops.rle1_decode(c)
+        cap = len(ref) + 8
+        padded = np.zeros(len(c) + 5, np.uint8)
+        padded[:len(c)] = c
+        out, total = jk.rle1_decode_dev(jnp.asarray(padded), cap,
+                                        jnp.int32(len(c)))
+        total = int(total)
+        assert total == len(ref), i
+        assert np.array_equal(np.asarray(out)[:total], ref), i
+
+
+def test_decode_block_full_dev():
+    """The all-device block decode (walk -> RLE2 -> MTF -> inverse BWT
+    -> RLE1 undo) reproduces the original bytes + CRC."""
+    from compressjs_tpu.utils.crc32 import crc32_bzip2
+    data = open('/root/reference/test/sample4.ref', 'rb').read()[:250000]
+    comp = np.frombuffer(bytes(bzip2.compress_file(data, props=1)),
+                         np.uint8)
+    r = bzip2._BitReader(comp)
+    r.read_bits(32)
+    assert r.read_bits(48) == bzip2.WHOLEPI
+    crc = r.read_bits(32)
+    optr, s2b, selectors, groups = bzip2._parse_block_header(r, 100000)
+    byte0, bit0 = r.pos >> 3, r.pos & 7
+    limits, bases, perms, mins = dh.tables_for_device(groups,
+                                                      len(groups))
+    s2b_arr = np.zeros(256, np.uint8)
+    s2b_arr[:len(s2b)] = s2b
+    out, cnt, _end = dh.decode_block_full_dev(
+        jnp.asarray(comp[byte0:]), bit0, (comp.shape[0] - byte0) * 8,
+        len(selectors), len(groups), 100000 + 8, 200000,
+        limits, bases, perms, mins,
+        jnp.asarray(selectors, dtype=jnp.int32),
+        jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
+        jnp.asarray(s2b_arr), jnp.int32(optr))
+    cnt = int(cnt)
+    got = np.asarray(out)[:cnt]
+    assert crc32_bzip2(got) == crc
+    assert got.tobytes() == data[:cnt]
+
+
 def test_device_block_decode_end_to_end():
     """Walk -> rle2_decode -> mtf_decode -> sym_to_byte equals the BWT
     column the host decoder produces."""
