@@ -219,6 +219,37 @@ def sub_device_compute():
         b, n, dremap, eob, 256, 'pallas')[2] % 2)).astype(jnp.uint8),
         dblock)
     out['full_block_encode_mb_s'] = round(n / 1e6 / t, 2)
+
+    # all-device block decode (parallel Huffman walk -> ... -> RLE1)
+    from compressjs_tpu.codecs import bzip2
+    from compressjs_tpu.ops import device_huffman as dh
+    comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
+                         np.uint8)
+    r = bzip2._BitReader(comp)
+    r.read_bits(32)
+    assert r.read_bits(48) == bzip2.WHOLEPI
+    r.read_bits(32)
+    optr, s2b, selectors, groups = bzip2._parse_block_header(
+        r, 900000)
+    byte0, bit0 = r.pos >> 3, r.pos & 7
+    limits, bases, perms, mins = dh.tables_for_device(groups,
+                                                      len(groups))
+    s2b_arr = np.zeros(256, np.uint8)
+    s2b_arr[:len(s2b)] = s2b
+    payload = jax.device_put(jnp.asarray(comp[byte0:]))
+    sel = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
+    caps = ((comp.shape[0] - byte0) * 8, len(selectors), len(groups),
+            900000 + 8, 1000000)
+
+    def dec_body(p):
+        out_b, cnt, _ = dh.decode_block_full_dev(
+            p, bit0, *caps, limits, bases, perms, mins, sel,
+            jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
+            jnp.asarray(s2b_arr), jnp.int32(optr))
+        return p + (cnt % 2).astype(jnp.uint8)
+
+    t = chain_time(dec_body, payload)
+    out['full_block_decode_mb_s'] = round(n / 1e6 / t, 2)
     print(json.dumps(out))
 
 

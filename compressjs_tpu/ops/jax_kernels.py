@@ -138,10 +138,14 @@ def cyclic_suffix_sort(block, n):
 
     Negative results (measured, v5e): (a) 'discarding' prefix doubling
     (sort only still-tied positions through compacted buffers) loses —
-    at the 100-150 K tied-element scale where it would kick in, random
-    gathers + scatter per compact round cost as much as a full dense
-    quad round; (b) doubling (2-key) rounds lose to quad rounds 91.8 ms
-    vs 71.5 ms on the 900 KB sample5 block."""
+    re-tested in round 2 with a fully-static in-jit compact tail
+    (capacity n/4, cumsum-scatter routing, chained timing so dispatch
+    overhead cannot pollute the comparison): 155 ms vs 64.7 ms dense on
+    the 900 KB sample5 block, i.e. each compact round's ~5 random
+    C-element gathers/scatters from n-arrays cost ~3x a full dense
+    quad-sort round even at C = 57K..17K tied (the tail profile is
+    568K -> 158K -> 57K -> 26K -> 17K -> 0 over 5 rounds); (b) doubling
+    (2-key) rounds lose to quad rounds 91.8 ms vs 71.5 ms."""
     bu = block[:n].astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
