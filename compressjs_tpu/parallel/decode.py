@@ -140,13 +140,14 @@ def _pow2_at_least(x, lo):
     return v
 
 
-def _device_entropy_at(data, pos, bound, dbuf_size):
-    """Decode one candidate block's symbols on device: host parses the
-    (tiny) header, ops/device_huffman runs the parallel canonical-
+def _device_entropy_launch(data, pos, bound, dbuf_size):
+    """Launch one candidate block's device symbol decode: host parses
+    the (tiny) header, ops/device_huffman runs the parallel canonical-
     Huffman walk, and rle2_decode + mtf_decode rebuild the BWT column —
     no host pass over the payload.  `bound` is the next candidate/end
     magic bit position (the symbol stream cannot extend past it).
-    Returns (dbuf, orig_pointer, target_crc, end_bit) or None."""
+    Returns un-synced device handles (JAX dispatch is async, so all
+    candidates' walks overlap) or None on a host-parse failure."""
     import jax.numpy as jnp
     from ..ops import device_huffman as dh
     from ..ops import jax_kernels as jk
@@ -178,19 +179,29 @@ def _device_entropy_at(data, pos, bound, dbuf_size):
         payload, bit0, int(nbits_cap), int(s_cap), len(groups),
         limits, bases, perms, mins, sel, jnp.int32(len(selectors)),
         jnp.int32(eob))
-    end_bit = int(end_bit) + byte0 * 8
-    count = int(count)
-    if count == 0 or end_bit > bound:
-        return None
-    idx, total = jk.rle2_decode(syms, dbuf_size, jnp.int32(count))
-    total = int(total)
-    if not (0 < total <= dbuf_size) or orig_ptr >= total:
-        return None
+    idx, total = jk.rle2_decode(syms, dbuf_size, count)
     dense = jk.mtf_decode(idx, dbuf_size)
     s2b = np.zeros(256, dtype=np.uint8)
     s2b[:len(sym_to_byte)] = sym_to_byte
-    dbuf = s2b[np.asarray(dense)[:total]]
-    return dbuf, orig_ptr, target_crc, end_bit
+    U = jnp.asarray(s2b)[dense]        # uint8: 4x smaller download
+    return dict(U=U, total=total, count=count, end_bit=end_bit,
+                byte0=byte0, orig_ptr=orig_ptr, target_crc=target_crc)
+
+
+def _device_entropy_collect(h, bound, dbuf_size):
+    """Sync one launched block; validate against its payload bound.
+    Returns (dbuf, orig_pointer, target_crc, end_bit) or None."""
+    if h is None:
+        return None
+    end_bit = int(h['end_bit']) + h['byte0'] * 8
+    count = int(h['count'])
+    total = int(h['total'])
+    if count == 0 or end_bit > bound:
+        return None
+    if not (0 < total <= dbuf_size) or h['orig_ptr'] >= total:
+        return None
+    dbuf = np.asarray(h['U'])[:total]
+    return dbuf, h['orig_ptr'], h['target_crc'], end_bit
 
 
 def decompress_file_mesh(input_data, output=None, mesh=None,
@@ -235,22 +246,26 @@ def decompress_file_mesh(input_data, output=None, mesh=None,
     if entropy == 'device':
         end_hits = _scan_magic(data, _END_MAGIC_BITS)
         end_bound = int(end_hits[end_hits >= first_block_pos][0])
+        bounds = [candidates[i + 1] if i + 1 < len(candidates)
+                  else end_bound for i in range(len(candidates))]
+        # launch every candidate's device walk first (async dispatch),
+        # sync afterwards — block i's walk overlaps block i+1's upload
+        launched = [_device_entropy_launch(data, p, b, dbuf_size)
+                    for p, b in zip(candidates, bounds)]
         results = []
-        for i, p in enumerate(candidates):
-            # a true block's symbols end exactly at the next TRUE magic;
-            # a false-positive candidate in between makes the first
-            # bound too tight, so escalate to the stream end bound
-            # (bounded at 64 Mbit to keep speculative arrays sane —
-            # larger means this candidate takes the fallback path).
-            res = None
-            tries = [candidates[i + 1] if i + 1 < len(candidates)
-                     else end_bound]
-            if tries[0] != end_bound and end_bound - p <= (64 << 20):
-                tries.append(end_bound)
-            for bound in tries:
-                res = _device_entropy_at(data, p, bound, dbuf_size)
-                if res is not None:
-                    break
+        for p, b, h in zip(candidates, bounds, launched):
+            res = _device_entropy_collect(h, b, dbuf_size)
+            if res is None and b != end_bound and \
+                    end_bound - p <= (64 << 20):
+                # a true block's symbols end exactly at the next TRUE
+                # magic; a false-positive candidate in between makes the
+                # first bound too tight — retry against the stream end
+                # bound (bounded at 64 Mbit to keep speculative arrays
+                # sane; larger means this candidate takes the fallback).
+                res = _device_entropy_collect(
+                    _device_entropy_launch(data, p, end_bound,
+                                           dbuf_size),
+                    end_bound, dbuf_size)
             results.append(res)
     else:
         n_workers = n_workers or min(8, 2 * (os.cpu_count() or 2))
