@@ -219,10 +219,41 @@ def sub_device_compute():
         b, n, dremap, eob, 256, 'pallas')[2] % 2)).astype(jnp.uint8),
         dblock)
     out['full_block_encode_mb_s'] = round(n / 1e6 / t, 2)
+    print(json.dumps(out))
 
-    # all-device block decode (parallel Huffman walk -> ... -> RLE1)
+
+def sub_device_decode():
+    """Compute-only all-device block decode rate (parallel Huffman walk
+    -> RLE2/MTF undo -> inverse BWT -> RLE1 undo), chained like
+    sub_device_compute."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.ops import device_huffman as dh
+
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    n = 9 * 100000 - 19
+
+    K = 10
+
+    def chain_time(body, init):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, K, lambda i, c: body(c), x)
+        r = run(init)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = run(init)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / K
+
+    out = {}
     comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
                          np.uint8)
     r = bzip2._BitReader(comp)
@@ -263,6 +294,7 @@ def sub_mesh_scaling():
                                ).strip()
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    _enable_compile_cache()
     import jax.numpy as jnp
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.parallel import mesh as pmesh
@@ -302,7 +334,10 @@ def main():
     comp = _run_sub(['--device-compute'], DEVICE_TIMEOUT)
     if comp:
         detail['device_compute_only'] = comp
-    mesh = _run_sub(['--mesh-scaling'], 600)
+    dcomp = _run_sub(['--device-decode'], DEVICE_TIMEOUT)
+    if dcomp:
+        detail.setdefault('device_compute_only', {}).update(dcomp)
+    mesh = _run_sub(['--mesh-scaling'], 900)
     if mesh:
         detail['cpu_mesh_validation'] = mesh
 
@@ -336,6 +371,8 @@ if __name__ == '__main__':
         sub_sample5_device()
     elif '--device-compute' in sys.argv:
         sub_device_compute()
+    elif '--device-decode' in sys.argv:
+        sub_device_decode()
     elif '--mesh-scaling' in sys.argv:
         sub_mesh_scaling()
     else:
