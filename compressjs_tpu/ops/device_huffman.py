@@ -134,13 +134,27 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
                           0, nbits_cap - 1), nbits_cap)
         for g in range(n_groups)])
 
-    # selector chase: val-relative chunk-boundary bit offsets
+    # selector chase: val-relative chunk-boundary bit offsets.  Unlike
+    # the MTF scan (traffic-bound), each chase step is one scalar gather
+    # — pure per-step overhead — so a K-wide unrolled body is ~K times
+    # fewer dispatches for the same work.
     sel_arr = selectors[:s_cap].astype(jnp.int32)
+    CHASE_UNROLL = 32
+    pad_s = -s_cap % CHASE_UNROLL
+    sel_padded = jnp.concatenate(
+        [sel_arr, jnp.zeros(pad_s, jnp.int32)]) if pad_s else sel_arr
 
-    def chase(p, sel):
-        return F[sel, p], p
+    def chase(p, sel_k):
+        outs = []
+        for t in range(CHASE_UNROLL):
+            outs.append(p)
+            p = F[sel_k[t], p]
+        return p, jnp.stack(outs)
 
-    _, starts = lax.scan(chase, jnp.int32(0), sel_arr)
+    _, starts = lax.scan(
+        chase, jnp.int32(0),
+        sel_padded.reshape(-1, CHASE_UNROLL))
+    starts = starts.reshape(-1)[:s_cap]
 
     # chunk-parallel 50-symbol walk.  Per-lane tables are gathered once;
     # permute lookups go through a flat index (lane tables are small but
