@@ -136,6 +136,63 @@ def batched_range_encode(sy_f, lt_f, tot_f, step_valid, first_byte,
     return tokens, tok_n, bytecount
 
 
+EXTRA_BITS = 7   # (CODE_BITS - 2) % 8 + 1, RangeCoder.js:16
+
+
+def dec_start_state(payload, pos):
+    """Per-lane decoder state after decode_start(skip_initial_read):
+    payload (L, B) uint8, pos (L,) byte index of the first coder byte.
+    Returns (low, range, buffer, pos) uint32/int32 lane vectors."""
+    L = payload.shape[0]
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    buf = payload[lanes, jnp.minimum(pos, payload.shape[1] - 1)] \
+        .astype(jnp.uint32)
+    low = buf >> (8 - EXTRA_BITS)
+    rng = jnp.full(L, 1 << EXTRA_BITS, jnp.uint32)
+    return low, rng, buf, pos + 1
+
+
+def _dec_normalize(state, payload, active):
+    """Masked _dec_normalize for every lane (<=4 iterations bring range
+    above BOTTOM; reads past the payload end yield the host coder's
+    EOF semantics: read_byte() -> -1, whose masked uint32 bits are what
+    the reference's JS >>> arithmetic sees)."""
+    low, rng, buf, pos = state
+    L, B = payload.shape
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    for _ in range(4):
+        need = (rng <= BOTTOM) & active
+        nxt = jnp.where(
+            pos < B,
+            payload[lanes, jnp.minimum(pos, B - 1)].astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))          # EOF byte -1
+        low2 = ((low << 8) | ((buf << EXTRA_BITS) & 0xFF)) & MASK32
+        low2 = (low2 | (nxt >> (8 - EXTRA_BITS))) & MASK32
+        low = jnp.where(need, low2, low)
+        buf = jnp.where(need, nxt & 0xFF, buf)
+        pos = jnp.where(need, pos + 1, pos)
+        rng = jnp.where(need, (rng << 8) & MASK32, rng)
+    return low, rng, buf, pos
+
+
+def dec_cul_freq(state, payload, tot, active):
+    """decode_cul_freq for every lane: returns (state', help, cul)."""
+    low, rng, buf, pos = _dec_normalize(state, payload, active)
+    help_ = rng // jnp.maximum(tot, 1)
+    tmp = low // jnp.maximum(help_, 1)
+    cul = jnp.where(tmp >= tot, tot - 1, tmp)
+    return (low, rng, buf, pos), help_, cul
+
+
+def dec_update(state, help_, sy, lt, tot):
+    """decode_update for every lane."""
+    low, rng, buf, pos = state
+    tmp = help_ * lt
+    low = (low - tmp) & MASK32
+    rng = jnp.where(lt + sy < tot, help_ * sy, rng - tmp)
+    return (low, rng, buf, pos)
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def token_bytes(tokens, tok_counts, bytecounts, out_cap):
     """Materialize per-lane byte streams from (byte, run, fill) tokens.

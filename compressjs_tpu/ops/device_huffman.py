@@ -87,18 +87,23 @@ def _group_lengths(val, limit_row, min_len):
 
 
 def _power50(nxt, cap):
-    """nxt composed GROUP_SIZE times, by binary powering (50 = 32+16+2)."""
+    """nxt composed GROUP_SIZE times, by binary powering (50 = 32+16+2).
+    nxt is (G, cap) — all groups advance through each doubling level in
+    ONE take_along_axis dispatch."""
+    def comp(a, b):
+        return jnp.take_along_axis(a, b, axis=1)
+
     powers = []
     b, kk = nxt, 1
     while kk <= GROUP_SIZE:
         powers.append((kk, b))
         if kk * 2 <= GROUP_SIZE:
-            b = b[b]
+            b = comp(b, b)
         kk *= 2
     out, need = None, GROUP_SIZE
     for kk, arr in reversed(powers):
         if kk <= need:
-            out = arr if out is None else arr[out]
+            out = arr if out is None else comp(arr, out)
             need -= kk
     assert need == 0
     return out
@@ -128,11 +133,11 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     val = _window_vals(words, bit0, nbits_cap)
     pos0 = jnp.arange(nbits_cap, dtype=jnp.int32)
 
-    F = jnp.stack([
-        _power50(jnp.clip(pos0 + _group_lengths(val, limits[g],
-                                                min_lens[g]),
-                          0, nbits_cap - 1), nbits_cap)
+    nxt = jnp.stack([
+        jnp.clip(pos0 + _group_lengths(val, limits[g], min_lens[g]),
+                 0, nbits_cap - 1)
         for g in range(n_groups)])
+    F = _power50(nxt, nbits_cap)
 
     # selector chase: val-relative chunk-boundary bit offsets.  Unlike
     # the MTF scan (traffic-bound), each chase step is one scalar gather

@@ -115,6 +115,99 @@ def _rescale(tree, Ns, max_n, increment):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def fenwick_decode_streams(payload, coder_state, Ns, max_n, max_prob,
+                           increment, step_valid=None):
+    """Decode (L, T) symbol streams through per-lane Fenwick models —
+    the decode mirror of fenwick_encode_streams, with the range DECODER
+    fused into the scan (the root->leaf walk depends on each decoded
+    cumulative frequency, so coder and model cannot be split the way
+    the encode side splits them).
+
+    payload: (L, B) uint8 per-lane coder bytes; coder_state: (L, 4+)
+    int64/int32 (low, range, buffer, next_pos) — the host coder's
+    export_dec_state seam, so a host-started stream continues on
+    device.  step_valid (L, T): mask of steps to actually decode (a
+    lane's coder/model state stops advancing once invalid).
+
+    Returns (symbols (L, T) int32, state tuple (low, rng, buffer,
+    next_pos)) — symbols in [0, N-2] (escapes are resolved internally,
+    exactly host FenwickModel.decode())."""
+    from . import device_coder as dc
+    L = payload.shape[0]
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+    Ns = Ns.astype(jnp.int32)
+    tree0 = fenwick_init(Ns, max_n, increment)
+    upd_sym = jnp.uint32(increment) << SYM_SHIFT
+    width = 2 * max_n
+    depth = (2 * max_n - 1).bit_length()
+    st0 = coder_state.astype(jnp.uint32)
+    state0 = (st0[:, 0], st0[:, 1], st0[:, 2],
+              coder_state[:, 3].astype(jnp.int32))
+
+    def sub_decode(tree, state, plane_esc, active):
+        """One host _decode(is_escape) for the active lanes."""
+        mask = jnp.where(plane_esc, ESC_MASK, SYM_MASK)
+        shift = jnp.where(plane_esc, 0, SYM_SHIFT).astype(jnp.uint32)
+        update = jnp.where(plane_esc, upd_sym - 1, upd_sym)
+        tot = (tree[lane_ids, 1] & mask) >> shift
+        state, help_, cul = dc.dec_cul_freq(state, payload, tot, active)
+        i = jnp.ones(L, dtype=jnp.int32)
+        lt = jnp.zeros(L, dtype=jnp.uint32)
+        for _ in range(depth):
+            cont = (i < Ns) & active
+            col = jnp.where(cont, i, width)
+            tree = tree.at[lane_ids, col].add(
+                jnp.where(cont, update, 0), mode='drop')
+            left = (tree[lane_ids, jnp.minimum(2 * i, width - 1)]
+                    & mask) >> shift
+            go_right = (cul - lt) >= left
+            lt = jnp.where(cont & go_right, lt + left, lt)
+            i = jnp.where(cont, 2 * i + go_right.astype(jnp.int32), i)
+        symbol = i - Ns
+        leaf_col = jnp.minimum(i, width - 1)
+        sy = (tree[lane_ids, leaf_col] & mask) >> shift
+        tree = tree.at[lane_ids, jnp.where(active, i, width)].add(
+            jnp.where(active, update, 0), mode='drop')
+        new_state = dc.dec_update(state, help_, sy, lt, tot)
+        state = tuple(jnp.where(active, n, o)
+                      for n, o in zip(new_state, state))
+        # last-escape removal (host _decode tail)
+        last = active & (symbol == Ns - 1) & \
+            ((tree[lane_ids, 1] & ESC_MASK) == 1)
+        negupd = jnp.uint32(0) - tree[lane_ids, leaf_col]
+        j = jnp.where(last, i, 0)
+        for _ in range(depth + 1):
+            cont2 = j >= 1
+            col = jnp.where(cont2, j, width)
+            tree = tree.at[lane_ids, col].add(
+                jnp.where(cont2, negupd, 0), mode='drop')
+            j = j >> 1
+        need = jnp.any((((tree[:, 1] & SYM_MASK) >> SYM_SHIFT)
+                        >= max_prob) & active)
+        tree = lax.cond(
+            need,
+            lambda t: jnp.where(
+                ((((t[:, 1] & SYM_MASK) >> SYM_SHIFT) >= max_prob)
+                 & active)[:, None],
+                _rescale(t, Ns, max_n, increment), t),
+            lambda t: t, tree)
+        return tree, state, symbol
+
+    def step(carry, active):
+        tree, state = carry
+        tree, state, sym1 = sub_decode(
+            tree, state, jnp.zeros(L, jnp.bool_), active)
+        escaped = active & (sym1 == Ns - 1)
+        tree, state, sym2 = sub_decode(
+            tree, state, jnp.ones(L, jnp.bool_), escaped)
+        sym = jnp.where(escaped, sym2, sym1)
+        return (tree, state), sym
+
+    (tree, state), syms = lax.scan(step, (tree0, state0), step_valid.T)
+    return syms.T.astype(jnp.int32), state
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def fenwick_encode_streams(symbols, step_valid, Ns, max_n, max_prob,
                            increment):
     """Encode (L, T) symbol streams through per-lane Fenwick models.

@@ -150,3 +150,79 @@ def test_bwtcp_device_low_level_falls_back():
     host = bytes(BWTCP.compress_file(data, None, 3))
     dev = bytes(bwtcp_compress_device(data, None, 3))
     assert dev == host
+
+
+def test_fenwick_decode_streams_lane_exact():
+    """Device decode mirror: host-encoded Fenwick streams (random
+    alphabets, forced escapes AND rescales via a low max_prob) decode
+    lane-exactly on device from the host coder's export_dec_state
+    seam."""
+    import jax.numpy as jnp
+    from compressjs_tpu.coders.range_coder import RangeCoder
+    from compressjs_tpu.models.fenwick_model import FenwickModel
+    from compressjs_tpu.ops import device_model as dm
+    from compressjs_tpu.utils.stream import (ArrayInputStream,
+                                             BufferStream)
+    rng = np.random.default_rng(3)
+    L, T = 5, 400
+    sizes = [4, 16, 100, 256, 256]
+    max_n = 257
+    streams, states = [], []
+    all_syms = np.zeros((L, T), dtype=np.int32)
+    for l in range(L):
+        syms = np.minimum(rng.geometric(0.1, T) - 1, sizes[l] - 1)
+        all_syms[l] = syms
+        out = BufferStream()
+        coder = RangeCoder(out)
+        coder.encode_start(0x42, 1)
+        model = FenwickModel(coder, sizes[l], max_prob=0x500,
+                             increment=0x100)
+        for s in syms:
+            model.encode(int(s))
+        coder.encode_finish()
+        data = out.buffer[:out.pos].copy()
+        streams.append(data)
+        ins = ArrayInputStream(data)
+        dec = RangeCoder(ins)
+        assert dec.decode_start(False) == 0x42
+        states.append(dec.export_dec_state(ins.pos)[:4])
+    B = max(len(s) for s in streams) + 8
+    payload = np.zeros((L, B), np.uint8)
+    for l, s in enumerate(streams):
+        payload[l, :len(s)] = s
+    syms_dev, _state = dm.fenwick_decode_streams(
+        jnp.asarray(payload),
+        jnp.asarray(np.stack(states).astype(np.int64)),
+        jnp.asarray([sz + 1 for sz in sizes], dtype=jnp.int32),
+        max_n, 0x500, 0x100, jnp.ones((L, T), dtype=jnp.bool_))
+    assert (np.asarray(syms_dev) == all_syms).all()
+
+
+def test_fenwick_encode_decode_device_roundtrip():
+    """Device encode -> device decode roundtrip with default model
+    parameters (no host coder in the loop at all)."""
+    import jax.numpy as jnp
+    from compressjs_tpu.ops import device_coder as dc
+    from compressjs_tpu.ops import device_model as dm
+    rng = np.random.default_rng(9)
+    L, T, size, max_n = 3, 300, 64, 65
+    syms = rng.integers(0, size, (L, T)).astype(np.int32)
+    Ns = jnp.full(L, size + 1, dtype=jnp.int32)
+    valid = jnp.ones((L, T), dtype=jnp.bool_)
+    sy, lt, tot, v = dm.fenwick_encode_streams(
+        jnp.asarray(syms), valid, Ns, max_n, 0xFF00, 0x100)
+    toks, tok_n, bc = dc.batched_range_encode(
+        sy, lt, tot, v, jnp.full(L, 0x42, jnp.uint32),
+        jnp.ones(L, jnp.uint32))
+    byts, lens = dc.token_bytes(toks, tok_n, bc, 4 * T + 32)
+    # device decode from byte 1 (byte 0 is the encode_start free byte):
+    # decode_start consumes bytes[1] as the first coder buffer byte
+    L_, B = byts.shape
+    state = []
+    for l in range(L_):
+        buf = int(byts[l, 1])
+        state.append([buf >> 1, 1 << 7, buf, 2])
+    syms_dev, _ = dm.fenwick_decode_streams(
+        byts, jnp.asarray(np.array(state, dtype=np.int64)),
+        Ns, max_n, 0xFF00, 0x100, valid)
+    assert (np.asarray(syms_dev) == syms).all()
