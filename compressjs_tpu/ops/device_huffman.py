@@ -89,9 +89,13 @@ def _group_lengths(val, limit_row, min_len):
 def _power50(nxt, cap):
     """nxt composed GROUP_SIZE times, by binary powering (50 = 32+16+2).
     nxt is (G, cap) — all groups advance through each doubling level in
-    ONE take_along_axis dispatch."""
+    ONE flat 1-D gather (row-offset indices; 2-D take_along_axis on
+    these shapes measured ~8x slower on v5e)."""
+    G = nxt.shape[0]
+    row_off = (jnp.arange(G, dtype=jnp.int32) * cap)[:, None]
+
     def comp(a, b):
-        return jnp.take_along_axis(a, b, axis=1)
+        return a.reshape(-1)[row_off + b]
 
     powers = []
     b, kk = nxt, 1
@@ -149,11 +153,13 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     sel_padded = jnp.concatenate(
         [sel_arr, jnp.zeros(pad_s, jnp.int32)]) if pad_s else sel_arr
 
+    F_flat = F.reshape(-1)
+
     def chase(p, sel_k):
         outs = []
         for t in range(CHASE_UNROLL):
             outs.append(p)
-            p = F[sel_k[t], p]
+            p = F_flat[sel_k[t] * nbits_cap + p]
         return p, jnp.stack(outs)
 
     _, starts = lax.scan(

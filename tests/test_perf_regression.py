@@ -99,3 +99,41 @@ def test_full_block_throughput(block900):
 
     mbs, _ = chain_throughput(body, dblock, n)
     assert mbs > 2.2, mbs
+
+
+def test_decode_kernel_throughput(block900):
+    """Decode-side floors (measured round-2, 900 KB block: rle2 undo
+    44 MB/s, mtf undo 20.5, inverse BWT 5.5, rle1 undo 8.1)."""
+    from compressjs_tpu.ops import jax_kernels as jk
+    dblock, block = block900
+    n = block.shape[0]
+    remap, eob = _meta(block)
+    mtf = jk.mtf_encode(remap[dblock.astype(jnp.int32)], n, 512, 256)
+    syms, count, freq = jk.rle2_encode(mtf, n, eob)
+    syms = jax.device_put(syms)
+    cap = n + 8
+
+    mbs, _ = chain_throughput(
+        lambda s: s + (jk.rle2_decode(s, cap, count)[1] % 2), syms, n)
+    assert mbs > 15.0, ('rle2_decode', mbs)
+
+    idx, total = jk.rle2_decode(syms, cap, count)
+    idx = jax.device_put(idx)
+    mbs, _ = chain_throughput(
+        lambda i: i + (jk.mtf_decode(i, cap)[0] % 2), idx, n)
+    assert mbs > 8.0, ('mtf_decode', mbs)
+
+    U = jax.device_put(dblock[:n][(jk.cyclic_suffix_sort(dblock, n)
+                                   - 1) % n])
+    pidx = jnp.int32(0)
+    mbs, _ = chain_throughput(
+        lambda u: (u + (jk.inverse_bwt_block_masked(
+            u, n, jnp.int32(n), pidx)[0] % 2)).astype(jnp.uint8),
+        U, n)
+    assert mbs > 2.0, ('inverse_bwt', mbs)
+
+    mbs, _ = chain_throughput(
+        lambda p: (p + (jk.rle1_decode_dev(p, n + n // 2,
+                                           jnp.int32(n))[1] % 2))
+        .astype(jnp.uint8), dblock, n)
+    assert mbs > 3.0, ('rle1_decode', mbs)
