@@ -37,7 +37,7 @@ CORPUS_PATH = '/tmp/compressjs_tpu_bench/corpus100.bin'
 CORPUS_BYTES = 100 * 1000 * 1000
 BASELINE_ENWIK8_RATE = 100.0 / 1068.51   # MB/s, reference bzip2 -9
 BASELINE_SAMPLE5_SECONDS = 22.57         # reference bzip2 -9 sample5
-DEVICE_TIMEOUT = 900
+DEVICE_TIMEOUT = 1500
 
 TRACKED = [
     # (codec, level, sample, reference size)
