@@ -93,9 +93,12 @@ def _timed(fn, *args, reps=1):
 def bench_corpus_host(corpus):
     """Host pipeline on the 100 MB corpus: encode, verify, decode."""
     from compressjs_tpu.codecs import bzip2
+    # best-of-2: single runs swing ~30% on the shared 2-core host
     t_enc, comp = _timed(lambda: bytes(bzip2.compress_file(corpus,
-                                                           None, 9)))
-    t_dec, out = _timed(lambda: bytes(bzip2.decompress_file(comp)))
+                                                           None, 9)),
+                         reps=2)
+    t_dec, out = _timed(lambda: bytes(bzip2.decompress_file(comp)),
+                        reps=2)
     assert out == corpus.tobytes(), '100MB roundtrip failed'
     return t_enc, t_dec, len(comp)
 
