@@ -146,16 +146,19 @@ def sub_hetero():
     _enable_compile_cache()
     corpus = build_corpus()
     from compressjs_tpu.codecs import bzip2
-    from compressjs_tpu.parallel.hetero import hetero_compress_bzip2
+    from compressjs_tpu.parallel.hetero import hetero_compress_bzip2, \
+        warm_device
 
-    # warmup on a 2-block slice compiles every device shape
-    warm = corpus[:2 * 900000]
-    bytes(hetero_compress_bzip2(warm, None, 9))
+    # compile every device shape (incl. the bucketed fetch ladder)
+    # outside the timed region; the scheduler itself never force-feeds
+    # a cold device
+    warm_device(9)
     t, comp = _timed(lambda: bytes(hetero_compress_bzip2(corpus, None,
                                                          9)))
     out = bytes(bzip2.decompress_file(comp))
     assert out == corpus.tobytes(), 'hetero roundtrip failed'
-    print(json.dumps({'t': t, 'size': len(comp)}))
+    print(json.dumps({'t': t, 'size': len(comp),
+                      'stats': hetero_compress_bzip2.last_stats}))
 
 
 def sub_sample5_device():

@@ -253,17 +253,28 @@ class DeviceBzip2Encoder:
         finally:
             pool.shutdown(wait=False)
 
+    # payload fetch sizes are BUCKETED to this ladder: a concrete-size
+    # device slice compiles one executable PER DISTINCT SIZE, and over
+    # the axon tunnel each fresh compile costs seconds to minutes — a
+    # per-block exact-size slice (round 2) recompiled for every block
+    # and made the hetero scheduler 3x slower than host-only.  A fixed
+    # ladder costs <= 128 KB of extra transfer (~7 ms) and compiles
+    # each bucket once per process (persistent-cached thereafter).
+    FETCH_BUCKET = 128 * 1024
+
     def _fetch_full(self, dev):
         """Download an encode_block_full result: small matrices plus only
         the payload prefix that is real (two-step fetch: the byte count
-        arrives first, then a concrete-size device slice transfers just
+        arrives first, then a bucket-size device slice transfers about
         total_bits/8 bytes instead of the 1.5n-byte buffer)."""
         pidx, payload, bits, lens, g, sel, count, freq = dev
         bits = int(bits)
         if bits > payload.shape[0] * 8:  # payload cap exceeded
             return ('hostfull',)         # (pathological block; recompute)
         nbytes = (bits + 7) // 8
-        pay = np.asarray(payload[:nbytes])
+        bucket = min(-(-nbytes // self.FETCH_BUCKET) * self.FETCH_BUCKET,
+                     payload.shape[0])
+        pay = np.asarray(payload[:bucket])[:nbytes]
         return ('fullres', int(pidx), pay, bits, np.asarray(lens),
                 int(g), np.asarray(sel), int(count))
 
