@@ -53,9 +53,16 @@ from . import pipeline as pl
 class _Scheduler:
     """Shared queue + claim/steal bookkeeping (all under one lock)."""
 
-    def __init__(self, n, host_workers, safety=1.3, min_queue_factor=8):
+    def __init__(self, n, host_workers, safety=1.3, min_queue_factor=8,
+                 claimable=None):
         self._dq = deque(range(n))
         self._lock = threading.Lock()
+        # device-claimable predicate (full-size blocks only: tails route
+        # to the host path inside the encoder anyway, wasting a device
+        # slot AND poisoning the service-time EWMA with a host-speed
+        # sample)
+        self.claimable = claimable if claimable is not None \
+            else (lambda i: True)
         self.host_workers = max(1, host_workers)
         self.safety = safety
         self.min_queue = min_queue_factor * self.host_workers
@@ -103,9 +110,16 @@ class _Scheduler:
                         self.safety * self.t_dev > drain:
                     self.stats['dev_claims_denied'] += 1
                     return None
-            i = self._dq.pop()
-            self.dev_claimed[i] = True
-            return i
+            # unclaimable tails sit at the BACK (file end) — skip past
+            # at most a few of them to the first claimable block
+            for off in range(1, min(q, 4) + 1):
+                i = self._dq[-off]
+                if self.claimable(i):
+                    del self._dq[-off]
+                    self.dev_claimed[i] = True
+                    return i
+            self.stats['dev_claims_denied'] += 1
+            return None
 
     def queue_len(self):
         with self._lock:
@@ -174,7 +188,9 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
     block_size = level * 100000 - 19
     blocks = pl._split_blocks(data, block_size)
     nblocks = len(blocks)
-    sched = _Scheduler(nblocks, host_workers, safety, min_queue_factor)
+    sched = _Scheduler(
+        nblocks, host_workers, safety, min_queue_factor,
+        claimable=lambda i: blocks[i][0].shape[0] == block_size)
     results = {}
     res_lock = threading.Lock()
     res_ready = threading.Condition(res_lock)
