@@ -2,11 +2,13 @@
 stages — decides whether a Pallas sort can beat lax.sort (which runs its
 network at HBM speed: ~10.8 ms for a 5-array 2^20 sort round).
 
-Kernel: 3 arrays (key_hi, key_lo, val) as (8192, 128) int32, column-major
-semantics (element i = (row i % 8192, lane i // 8192)).  Sorts every
-LANE's 8192-element column independently: 91 bitonic stages, all row-axis
-partner exchanges via jnp.roll.  This is phase A of a full sort; its
-ms/stage extrapolates the whole 210-stage network.
+Kernel: 3 arrays (key_hi, key_lo, val) as (R, 128) int32, column-major
+semantics.  Sorts every LANE's R-element column independently:
+log2(R)*(log2(R)+1)/2 bitonic stages, all row-axis partner exchanges via
+pltpu.roll.  ms/stage extrapolates a full multi-tile sort network.
+
+VMEM: in-place (input_output_aliases) + swap-mask-first staging keeps
+peak live ~6 arrays; R=4096 -> ~12 MB + temps.
 """
 import os
 import sys
@@ -24,37 +26,45 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R, L = 8192, 128
-LOGR = 13
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+L = 128
+LOGR = R.bit_length() - 1
 
 
-def _stage(hi, lo, va, s, level_bit):
+def _stage(hi, lo, va, s, level_bit, rows):
     """One bitonic compare-exchange stage, stride s (rows), direction
-    from bit `level_bit` of the row index."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
-    up = (rows & s) == 0          # partner below (row + s) if up
-    # partner values: roll -s brings row+s up; roll +s brings row-s down
-    phi = jnp.where(up, pltpu.roll(hi, -s, 0), pltpu.roll(hi, s, 0))
-    plo = jnp.where(up, pltpu.roll(lo, -s, 0), pltpu.roll(lo, s, 0))
-    pva = jnp.where(up, pltpu.roll(va, -s, 0), pltpu.roll(va, s, 0))
-    asc = ((rows >> level_bit) & 1) == 0
-    gt = (hi > phi) | ((hi == phi) & (lo > plo))
-    lt = (hi < phi) | ((hi == phi) & (lo < plo))
-    # keep mine if (I'm the min and should be) or (I'm the max and should be)
-    want_small = up == asc
-    keep = jnp.where(want_small, ~gt, ~lt)
-    return (jnp.where(keep, hi, phi), jnp.where(keep, lo, plo),
-            jnp.where(keep, va, pva))
+    from bit `level_bit` of the row index.  Masks stay int32 (Mosaic
+    cannot truncate i8 vectors to i1)."""
+    up = (rows & s) == 0
+    phi = jnp.where(up, pltpu.roll(hi, R - s, 0), pltpu.roll(hi, s, 0))
+    plo = jnp.where(up, pltpu.roll(lo, R - s, 0), pltpu.roll(lo, s, 0))
+    lg = s.bit_length() - 1
+    dirbit = ((rows >> lg) ^ (rows >> level_bit)) & 1
+    gti = ((hi > phi) | ((hi == phi) & (lo > plo))).astype(jnp.int32)
+    lti = ((hi < phi) | ((hi == phi) & (lo < plo))).astype(jnp.int32)
+    swap = jnp.where(dirbit == 0, gti, lti) == 1
+    hi = jnp.where(swap, phi, hi)
+    lo = jnp.where(swap, plo, lo)
+    pva = jnp.where(up, pltpu.roll(va, R - s, 0), pltpu.roll(va, s, 0))
+    va = jnp.where(swap, pva, va)
+    return hi, lo, va
 
 
 def _kernel(hi_ref, lo_ref, va_ref, ohi, olo, ova):
-    hi, lo, va = hi_ref[:], lo_ref[:], va_ref[:]
-    for level in range(1, LOGR + 1):          # merge level: blocks of 2^level
-        for st in range(level - 1, -1, -1):   # strides 2^st
-            hi, lo, va = _stage(hi, lo, va, 1 << st, level)
-    ohi[:] = hi
-    olo[:] = lo
-    ova[:] = va
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    ohi[:] = hi_ref[:]
+    olo[:] = lo_ref[:]
+    ova[:] = va_ref[:]
+    # materialize through the (aliased) output refs after every stage:
+    # a fully unrolled value chain makes Mosaic's register allocator
+    # spill ~176 MB of temporaries
+    for level in range(1, LOGR + 1):
+        for st in range(level - 1, -1, -1):
+            hi, lo, va = _stage(ohi[:], olo[:], ova[:], 1 << st, level,
+                                rows)
+            ohi[:] = hi
+            olo[:] = lo
+            ova[:] = va
 
 
 @jax.jit
@@ -64,6 +74,7 @@ def column_sort(hi, lo, va):
         out_shape=[jax.ShapeDtypeStruct((R, L), jnp.int32)] * 3,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
     )(hi, lo, va)
 
 
@@ -76,19 +87,17 @@ def main():
     t0 = time.time()
     r = column_sort(hi, lo, va)
     np.asarray(r[0])
-    print('compile+first: %.1fs' % (time.time() - t0), flush=True)
+    print('compile+first: %.1fs (R=%d)' % (time.time() - t0, R),
+          flush=True)
 
-    # correctness: each column sorted by (hi, lo)
     h, l, v = (np.asarray(x) for x in r)
     k = h.astype(np.int64) * (1 << 21) + l
     assert (np.diff(k, axis=0) >= 0).all(), 'columns not sorted'
-    # value payload still a permutation per column
-    hi0, lo0, va0 = (np.asarray(x) for x in (hi, lo, va))
+    va0 = np.asarray(va)
     for c in (0, 63, 127):
         assert sorted(v[:, c]) == sorted(va0[:, c])
     print('correct', flush=True)
 
-    # chained timing
     from jax import lax
 
     @jax.jit
@@ -108,10 +117,14 @@ def main():
         ts.append(time.perf_counter() - t0)
     per = min(ts) / 10
     n_stages = LOGR * (LOGR + 1) // 2
-    print('column sort (91 stages, 3x4MB): %.2f ms  => %.3f ms/stage'
-          % (per * 1e3, per * 1e3 / n_stages))
-    print('extrapolated 210-stage full 2^20 sort: %.1f ms (lax.sort '
-          'quad round: ~10.8 ms)' % (per * 1e3 / n_stages * 210))
+    elems = R * L
+    print('column sort (%d stages, 3x%.1fMB): %.2f ms  => %.4f ms/stage'
+          % (n_stages, elems * 4 / 1e6, per * 1e3, per * 1e3 / n_stages))
+    # full 2^20 3-array sort = 210 stage-passes over 2^20; this kernel
+    # does n_stages passes over `elems`
+    full = per / n_stages * 210 * ((1 << 20) / elems)
+    print('extrapolated 210-stage full 2^20 sort: %.1f ms '
+          '(lax.sort quad round: ~10.8 ms)' % (full * 1e3))
 
 
 if __name__ == '__main__':
