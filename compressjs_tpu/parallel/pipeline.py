@@ -483,6 +483,147 @@ def bwtcp_compress_device(data, output=None, level=9, batch=8):
         data, output, level)
 
 
+def bwtcl_compress_device(data, output=None, level=9, lanes=None):
+    """BWTC-L encode with the ENTIRE per-block body on device — EOF
+    BWT, MTF, RLE2, the 128-lane Fenwick models and the batched range
+    coder all in HBM (ops.device_lane.encode_block_lanes); the host
+    writes headers and the container.  Byte-identical to
+    codecs.bwtcl.compress_file; short tail blocks take the host path."""
+    from ..codecs import bwtcl as bl
+    from ..ops import device_lane as dl
+    from ..utils import util
+    from ..utils.stream import BufferStream
+
+    if lanes is None:
+        lanes = bl.LANES
+    level = bl._level_of(level)
+    data = np.ascontiguousarray(data, dtype=np.uint8) \
+        if isinstance(data, np.ndarray) \
+        else np.frombuffer(bytes(data), dtype=np.uint8)
+    bs = level * 100000
+    blocks = [data[i:i + bs] for i in range(0, max(len(data), 1), bs)] \
+        if len(data) else []
+
+    # dispatch all full blocks ahead (async), then assemble
+    T, tok_cap, lane_cap = dl.lane_caps(bs, lanes)
+    flat_cap = bs + (bs >> 1) + 4096
+    devres = {}
+    metas = {}
+    for i, b in enumerate(blocks):
+        if b.shape[0] != bs:
+            continue
+        used = np.zeros(256, dtype=bool)
+        used[b] = True
+        alphabet = np.nonzero(used)[0]
+        remap = np.zeros(256, dtype=np.int32)
+        remap[alphabet] = np.arange(len(alphabet))
+        metas[i] = (used, len(alphabet))
+        devres[i] = dl.encode_block_lanes(
+            jnp.asarray(b), bs, lanes, jnp.asarray(remap),
+            jnp.int32(len(alphabet)))
+
+    BUCKET = 128 * 1024
+    payloads = [None] * len(blocks)
+    for i, b in enumerate(blocks):
+        if i not in devres:
+            payloads[i] = bl.encode_block(b, lanes)
+            continue
+        pidx, S, lens, flat, total, max_tok = devres[i]
+        total = int(total)
+        if int(max_tok) > tok_cap or total > flat_cap or \
+                int(jnp.max(lens)) > lane_cap:
+            payloads[i] = bl.encode_block(b, lanes)   # overflow fallback
+            continue
+        bucket = min(-(-total // BUCKET) * BUCKET, flat_cap)
+        body = np.asarray(flat[:bucket])[:total]
+        lens_np = np.asarray(lens)
+        used, asize = metas[i]
+        head = BufferStream()
+        util.write_unsigned_number(head, bs)
+        util.write_unsigned_number(head, int(pidx))
+        util.write_unsigned_number(head, int(S))
+        util.write_unsigned_number(head, lanes)
+        head.write_array(np.packbits(used))
+        for ln in lens_np.tolist():
+            util.write_unsigned_number(head, int(ln))
+        payloads[i] = np.concatenate(
+            [head.get_buffer(), body]).astype(np.uint8)
+
+    def guts(in_stream, out_stream, file_size, props, final_byte):
+        out_stream.write_byte(level)
+        util.write_unsigned_number(out_stream, len(payloads))
+        for p in payloads:
+            util.write_unsigned_number(out_stream, len(p))
+        for p in payloads:
+            if hasattr(out_stream, 'write_array'):
+                out_stream.write_array(np.asarray(p, dtype=np.uint8))
+            else:
+                out_stream.write(p, 0, len(p))
+
+    return util.compress_file_helper(bl.MAGIC, guts)(data, output, level)
+
+
+def bwtcl_decompress_device(data, output=None):
+    """BWTC-L decode with the per-block body on device: the lock-step
+    L-lane Fenwick/coder walk, RLE2/MTF undo, and the inverse EOF BWT
+    all in HBM (ops.device_lane.decode_block_lanes); the host parses
+    headers and validates lengths.  Blocks whose shape doesn't match
+    the compiled caps (tails, foreign lane counts) take the host path."""
+    from ..codecs import bwtcl as bl
+    from ..ops import device_lane as dl
+    from ..utils import util
+    from ..utils.stream import ArrayInputStream, coerce_output_stream
+
+    data = np.frombuffer(bytes(data), dtype=np.uint8) \
+        if not isinstance(data, np.ndarray) else data
+    ins = ArrayInputStream(np.ascontiguousarray(data, dtype=np.uint8))
+    for ch in bl.MAGIC:
+        if ins.read_byte() != ord(ch):
+            raise ValueError('bad magic')
+    util.read_unsigned_number(ins)            # fileSize+1 (unused)
+    level = ins.read_byte()
+    bs = level * 100000
+    n_blocks = util.read_unsigned_number(ins)
+    sizes = [util.read_unsigned_number(ins) for _ in range(n_blocks)]
+    payloads = []
+    for sz in sizes:
+        buf = np.zeros(sz, dtype=np.uint8)
+        ins.read(buf, 0, sz)
+        payloads.append(buf)
+
+    results = [None] * n_blocks
+    pending = []
+    for i, p in enumerate(payloads):
+        length, pidx, S, lanes, used, lane_payloads = \
+            bl.parse_block_header(p)
+        T, _, lane_cap = dl.lane_caps(bs, lanes)
+        if length != bs or max((len(x) for x in lane_payloads),
+                               default=0) > lane_cap:
+            results[i] = bl.decode_block(p)
+            continue
+        paymat = np.zeros((lanes, lane_cap), dtype=np.uint8)
+        for l, lp in enumerate(lane_payloads):
+            paymat[l, :len(lp)] = lp
+        alphabet = np.nonzero(used)[0]
+        sym_map = np.zeros(256, dtype=np.int32)
+        sym_map[:len(alphabet)] = alphabet
+        dev = dl.decode_block_lanes(
+            jnp.asarray(paymat), bs, lanes, jnp.int32(S),
+            jnp.int32(pidx), jnp.int32(len(alphabet)),
+            jnp.asarray(sym_map))
+        pending.append((i, dev))
+    for i, (out, total) in pending:
+        if int(total) != bs:
+            raise ValueError('BWTC-L device block expands to %d != %d'
+                             % (int(total), bs))
+        results[i] = np.asarray(out)
+
+    o = coerce_output_stream(output)
+    for r in results:
+        o.stream.write(r, 0, len(r))
+    return o.retval
+
+
 class DeviceBWTCEncoder:
     """BWTC encoder with the per-block EOF-terminated BWT on device.
 

@@ -17,7 +17,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
+
+INTERPRET = '--cpu' in sys.argv
+if INTERPRET:
+    sys.argv.remove('--cpu')
+    jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
+from jax import lax
 
 jax.config.update('jax_compilation_cache_dir',
                   os.path.expanduser('~/.cache/jax_comp_cache'))
@@ -31,15 +38,15 @@ L = 128
 LOGR = R.bit_length() - 1
 
 
-def _stage(hi, lo, va, s, level_bit, rows):
-    """One bitonic compare-exchange stage, stride s (rows), direction
-    from bit `level_bit` of the row index.  Masks stay int32 (Mosaic
-    cannot truncate i8 vectors to i1)."""
+def _stage(hi, lo, va, s, level, rows):
+    """One bitonic compare-exchange stage: static stride s (rows),
+    TRACED merge level (direction = bit `level` of the row index).
+    Masks stay int32 (Mosaic cannot truncate i8 vectors to i1)."""
     up = (rows & s) == 0
     phi = jnp.where(up, pltpu.roll(hi, R - s, 0), pltpu.roll(hi, s, 0))
     plo = jnp.where(up, pltpu.roll(lo, R - s, 0), pltpu.roll(lo, s, 0))
     lg = s.bit_length() - 1
-    dirbit = ((rows >> lg) ^ (rows >> level_bit)) & 1
+    dirbit = ((rows >> lg) ^ (rows >> level)) & 1
     gti = ((hi > phi) | ((hi == phi) & (lo > plo))).astype(jnp.int32)
     lti = ((hi < phi) | ((hi == phi) & (lo < plo))).astype(jnp.int32)
     swap = jnp.where(dirbit == 0, gti, lti) == 1
@@ -50,32 +57,58 @@ def _stage(hi, lo, va, s, level_bit, rows):
     return hi, lo, va
 
 
-def _kernel(hi_ref, lo_ref, va_ref, ohi, olo, ova):
+def _stage_dyn(hi, lo, va, lg, level, rows):
+    """Compare-exchange with traced stride-log2: the roll shift must be
+    static, so a lax.switch picks among the LOGR static stride variants
+    (kernel code stays O(LOGR) without unrolling all stages)."""
+    def mk(lgs):
+        def f(args):
+            return _stage(args[0], args[1], args[2], 1 << lgs, level,
+                          rows)
+        return f
+
+    return lax.switch(lg, [mk(g) for g in range(LOGR)], (hi, lo, va))
+
+
+def _kernel(sched_ref, hi_ref, lo_ref, va_ref, ohi, olo, ova):
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     ohi[:] = hi_ref[:]
     olo[:] = lo_ref[:]
     ova[:] = va_ref[:]
-    # materialize through the (aliased) output refs after every stage:
-    # a fully unrolled value chain makes Mosaic's register allocator
-    # spill ~176 MB of temporaries
+    n_stages = LOGR * (LOGR + 1) // 2
+
+    def body(t, _):
+        lg = sched_ref[t, 0]
+        level = sched_ref[t, 1]
+        hi, lo, va = _stage_dyn(ohi[:], olo[:], ova[:], lg, level, rows)
+        ohi[:] = hi
+        olo[:] = lo
+        ova[:] = va
+        return 0
+
+    jax.lax.fori_loop(0, n_stages, body, 0)
+
+
+def _schedule():
+    rows = []
     for level in range(1, LOGR + 1):
         for st in range(level - 1, -1, -1):
-            hi, lo, va = _stage(ohi[:], olo[:], ova[:], 1 << st, level,
-                                rows)
-            ohi[:] = hi
-            olo[:] = lo
-            ova[:] = va
+            rows.append((st, level))
+    return np.array(rows, dtype=np.int32)
 
 
 @jax.jit
 def column_sort(hi, lo, va):
+    sched = jnp.asarray(_schedule())
     return pl.pallas_call(
         _kernel,
         out_shape=[jax.ShapeDtypeStruct((R, L), jnp.int32)] * 3,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
-    )(hi, lo, va)
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=INTERPRET,
+    )(sched, hi, lo, va)
 
 
 def main():
