@@ -177,6 +177,61 @@ def sub_sample5_device():
     print(json.dumps({'t': t, 'size': len(comp)}))
 
 
+def sub_sample5_hybrid():
+    """Hybrid pipeline (sort+BWT on device, entropy on host), sample5
+    end-to-end — the per-mode number VERDICT r2 #9 asked for."""
+    _enable_compile_cache()
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    from compressjs_tpu.codecs import bzip2
+    from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
+    enc = DeviceBzip2Encoder(level=9, mode='hybrid')
+    bytes(enc.compress(data))   # warmup compiles
+    t, comp = _timed(lambda: bytes(enc.compress(data)), reps=3)
+    assert bytes(bzip2.decompress_file(comp)) == data.tobytes()
+    print(json.dumps({'t': t, 'size': len(comp)}))
+
+
+def sub_bwtcl_device():
+    """BWTC-L (lane-interleaved entropy format): all-device encode AND
+    decode of sample5, end-to-end with transfers — the batched
+    coder/model kernels at their L=128-lane design point."""
+    _enable_compile_cache()
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    from compressjs_tpu.parallel.pipeline import bwtcl_compress_device, \
+        bwtcl_decompress_device
+    comp = bytes(bwtcl_compress_device(data, None, 9))  # warmup
+    t_enc, comp = _timed(lambda: bytes(bwtcl_compress_device(
+        data, None, 9)), reps=3)
+    out = bytes(bwtcl_decompress_device(comp))          # warmup
+    assert out == data.tobytes()
+    t_dec, out = _timed(lambda: bytes(bwtcl_decompress_device(comp)),
+                        reps=3)
+    assert out == data.tobytes()
+    from compressjs_tpu.codecs import bwtcl as bl
+    assert bytes(bl.BWTCL.decompress_file(comp)) == data.tobytes()
+    print(json.dumps({'t_enc': t_enc, 't_dec': t_dec,
+                      'size': len(comp)}))
+
+
+def sub_bwtcp_device():
+    """BWTC-P encode with the per-block EOF BWTs on the device mesh
+    (single-chip here) + threaded host coders."""
+    _enable_compile_cache()
+    import jax
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    from compressjs_tpu.codecs import bwtcp
+    from compressjs_tpu.parallel import mesh as pmesh
+    m = pmesh.make_mesh(jax.devices()[:1])
+    comp = bytes(pmesh.mesh_compress_bwtcp(m, data, 9))  # warmup
+    t, comp = _timed(lambda: bytes(pmesh.mesh_compress_bwtcp(
+        m, data, 9)), reps=3)
+    assert bytes(bwtcp.BWTCP.decompress_file(comp)) == data.tobytes()
+    print(json.dumps({'t': t, 'size': len(comp)}))
+
+
 def sub_device_compute():
     """Compute-only device stage rates: K invocations chained inside one
     jit so tunnel transfers amortize away (the multi-chip mesh number is
@@ -287,6 +342,155 @@ def sub_device_decode():
 
     t = chain_time(dec_body, payload)
     out['full_block_decode_mb_s'] = round(n / 1e6 / t, 2)
+
+    # lane-batched decode (VERDICT r2 #3): vmap B=8 block lanes — the
+    # latency-bound composition gathers amortize across lanes, which is
+    # the mesh/multi-block shape device decode actually runs at
+    B = 8
+    vdec = jax.vmap(lambda p, s: dh.decode_block_full_dev(
+        p, bit0, *caps, limits, bases, perms, mins, s,
+        jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
+        jnp.asarray(s2b_arr), jnp.int32(optr)))
+    selb = jnp.broadcast_to(sel, (B,) + sel.shape)
+
+    def dec_body_b(pb):
+        out_b, cnt, _ = vdec(pb, selb)
+        return pb + (cnt[0] % 2).astype(jnp.uint8)
+
+    tb = chain_time(dec_body_b,
+                    jnp.broadcast_to(payload, (B,) + payload.shape))
+    out['device_decode_mb_s_aggregate_b8'] = round(B * n / 1e6 / tb, 2)
+    print(json.dumps(out))
+
+
+def sub_device_roofline():
+    """Per-stage roofline accounting (VERDICT r2 #6): time every device
+    stage chained, relate it to its analytical bytes-moved / gather
+    count, and report achieved GB/s + % of the binding bound
+    (parallel.profiling.STAGE_MODELS)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from compressjs_tpu.ops import jax_kernels as jk
+    from compressjs_tpu.ops import device_entropy as de
+    from compressjs_tpu.ops import device_huffman as dh
+    from compressjs_tpu.ops import rle as rle_ops
+    from compressjs_tpu.parallel import profiling as prof
+    from compressjs_tpu.codecs import bzip2
+
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    block, _ = rle_ops.rle1_encode(data, 0, 9 * 100000 - 19)
+    n = block.shape[0]
+    dblock = jax.device_put(jnp.asarray(block))
+    used = np.zeros(256, dtype=bool)
+    used[block] = True
+    remap = np.zeros(256, dtype=np.int32)
+    remap[np.nonzero(used)[0]] = np.arange(int(used.sum()))
+    dremap = jnp.asarray(remap)
+    eob = jnp.int32(int(used.sum()) + 1)
+    n_chunks = -(-(n + 1) // de.GROUP_SIZE)
+
+    K = 10
+
+    def chain_time(body, init):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, K, lambda i, c: body(c), x)
+        r = run(init)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = run(init)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / K
+
+    # stage inputs, computed once on device
+    @jax.jit
+    def prep(b):
+        order = jk.cyclic_suffix_sort(b, n)
+        U = b[:n][(order - 1) % n]
+        dense = dremap[U.astype(jnp.int32)]
+        mtf_seq = jk.mtf_encode(dense, n, 512, 256)
+        syms, count, freq = jk.rle2_encode(mtf_seq, n, eob)
+        return dense, mtf_seq, syms, count, freq
+    dense, mtf_seq, syms, count, freq = prep(dblock)
+    lens, g, sel, codes = de.optimize_groups_dev(
+        syms, count, n_chunks, freq, eob + 1, 'xla')
+
+    out = {}
+    t = chain_time(lambda b: (b + (jk.cyclic_suffix_sort(b, n)[0] % 2))
+                   .astype(jnp.uint8), dblock)
+    out['sort'] = prof.roofline('sort', n, t)
+    t = chain_time(lambda d: d + (jk.mtf_encode(d, n, 512, 256)[0] % 2),
+                   dense)
+    out['mtf'] = prof.roofline('mtf', n, t)
+    t = chain_time(lambda s: s + (jk.rle2_encode(s, n, eob)[1]
+                                  % 2).astype(jnp.int32), mtf_seq)
+    out['rle2'] = prof.roofline('rle2', n, t)
+    t = chain_time(lambda s: (s + (de.optimize_groups_dev(
+        s, count, n_chunks, freq, eob + 1, 'xla')[1] % 2)
+        .astype(jnp.int16)), syms)
+    out['groups'] = prof.roofline('groups', n, t)
+    t = chain_time(lambda s: (s + (de.payload_pack_words_dev(
+        s, count, sel, lens, codes, de.payload_cap_bytes(n))[1] % 2)
+        .astype(jnp.int16)), syms)
+    out['pack'] = prof.roofline('pack', n, t)
+
+    # decode stages on the real compressed block
+    comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
+                         np.uint8)
+    r = bzip2._BitReader(comp)
+    r.read_bits(32)
+    assert r.read_bits(48) == bzip2.WHOLEPI
+    r.read_bits(32)
+    optr, s2b, selectors, groups = bzip2._parse_block_header(r, 900000)
+    byte0, bit0 = r.pos >> 3, r.pos & 7
+    limits, bases, perms, mins = dh.tables_for_device(groups,
+                                                      len(groups))
+    payload = jax.device_put(jnp.asarray(comp[byte0:]))
+    nbits_cap = (comp.shape[0] - byte0) * 8
+    s_cap = len(selectors)
+    selv = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
+
+    t = chain_time(lambda p: p + (dh.huffman_walk_dev(
+        p, bit0, nbits_cap, s_cap, len(groups), limits, bases, perms,
+        mins, selv, jnp.int32(s_cap), jnp.int32(len(s2b) + 1))[1]
+        % 2).astype(jnp.uint8), payload)
+    out['walk'] = prof.roofline('walk', n, t)
+
+    wsyms, wcount, _ = jax.jit(
+        lambda p: dh.huffman_walk_dev(
+            p, bit0, nbits_cap, s_cap, len(groups), limits, bases,
+            perms, mins, selv, jnp.int32(s_cap),
+            jnp.int32(len(s2b) + 1)))(payload)
+    dbuf_cap = 900000 + 8
+    t = chain_time(lambda s: s + (jk.rle2_decode(s, dbuf_cap, wcount)[1]
+                                  % 2).astype(s.dtype), wsyms)
+    out['rle2_undo'] = prof.roofline('rle2_undo', n, t)
+    idx, total = jax.jit(
+        lambda s: jk.rle2_decode(s, dbuf_cap, wcount))(wsyms)
+    t = chain_time(lambda i: i + (jk.mtf_decode(i, dbuf_cap)[0] % 2),
+                   idx)
+    out['mtf_undo'] = prof.roofline('mtf_undo', n, t)
+    s2b_arr = np.zeros(256, np.uint8)
+    s2b_arr[:len(s2b)] = s2b
+    U = jax.jit(lambda i: jnp.asarray(s2b_arr)[jk.mtf_decode(
+        i, dbuf_cap)].astype(jnp.uint8))(idx)
+    t = chain_time(lambda u: (u + jk.inverse_bwt_block_masked(
+        u, dbuf_cap, total, jnp.minimum(jnp.int32(optr), total - 1))[0]
+        % 2).astype(jnp.uint8), U)
+    out['ibwt'] = prof.roofline('ibwt', n, t)
+    packed = jax.jit(lambda u: jk.inverse_bwt_block_masked(
+        u, dbuf_cap, total, jnp.minimum(jnp.int32(optr),
+                                        total - 1)))(U)
+    t = chain_time(lambda p: (p + jk.rle1_decode_dev(
+        p, 1000000, total)[0][:p.shape[0]] % 2).astype(jnp.uint8),
+        packed)
+    out['rle1_undo'] = prof.roofline('rle1_undo', n, t)
     print(json.dumps(out))
 
 
@@ -337,12 +541,30 @@ def main():
     if s5dev:
         detail['sample5_device_e2e_mb_s'] = round(2.13064 / s5dev['t'],
                                                   2)
+    s5hyb = _run_sub(['--sample5-hybrid'], DEVICE_TIMEOUT)
+    if s5hyb:
+        detail['sample5_device_hybrid_mb_s'] = round(
+            2.13064 / s5hyb['t'], 2)
+    bcl = _run_sub(['--bwtcl-device'], DEVICE_TIMEOUT)
+    if bcl:
+        detail['bwtcl_device_encode_mb_s'] = round(
+            2.13064 / bcl['t_enc'], 2)
+        detail['bwtcl_device_decode_mb_s'] = round(
+            2.13064 / bcl['t_dec'], 2)
+        detail['bwtcl_size'] = bcl['size']
+    bcp = _run_sub(['--bwtcp-device'], DEVICE_TIMEOUT)
+    if bcp:
+        detail['bwtcp_device_encode_mb_s'] = round(
+            2.13064 / bcp['t'], 2)
     comp = _run_sub(['--device-compute'], DEVICE_TIMEOUT)
     if comp:
         detail['device_compute_only'] = comp
     dcomp = _run_sub(['--device-decode'], DEVICE_TIMEOUT)
     if dcomp:
         detail.setdefault('device_compute_only', {}).update(dcomp)
+    roof = _run_sub(['--device-roofline'], DEVICE_TIMEOUT)
+    if roof:
+        detail['device_roofline'] = roof
     mesh = _run_sub(['--mesh-scaling'], 900)
     if mesh:
         detail['cpu_mesh_validation'] = mesh
@@ -375,10 +597,18 @@ if __name__ == '__main__':
         sub_hetero()
     elif '--sample5-device' in sys.argv:
         sub_sample5_device()
+    elif '--sample5-hybrid' in sys.argv:
+        sub_sample5_hybrid()
+    elif '--bwtcl-device' in sys.argv:
+        sub_bwtcl_device()
+    elif '--bwtcp-device' in sys.argv:
+        sub_bwtcp_device()
     elif '--device-compute' in sys.argv:
         sub_device_compute()
     elif '--device-decode' in sys.argv:
         sub_device_decode()
+    elif '--device-roofline' in sys.argv:
+        sub_device_roofline()
     elif '--mesh-scaling' in sys.argv:
         sub_mesh_scaling()
     else:

@@ -74,6 +74,76 @@ def device_trace(logdir):
 
 # v5e single-chip peaks for roofline accounting
 HBM_PEAK_GBS = 819.0
+# measured on this chip (tools/probe_vmem_gather.py + the decode-walk
+# profile): XLA random HBM gathers sustain ~0.11 G elements/s, and a
+# Pallas VMEM lane-gather measured no better (0.097 G/s) — random
+# gathers are issue-rate-bound on this part, not a kernel defect
+GATHER_PEAK_G = 0.11
+
+
+# Analytical per-stage cost models for the 900 KB block pipelines:
+# bytes(n) is the MINIMAL HBM traffic the algorithm needs (one
+# read+write of each live array per pass — a lower bound, so
+# pct_of_bound is honest), gathers(n) the random-gather count for
+# latency-bound stages.  The binding constraint picks the bound.
+STAGE_MODELS = {
+    # 6 quad prefix-doubling rounds; an ideal radix-family round would
+    # partition the 4x20-bit key in ~10 8-bit passes over 5 int32
+    # arrays (r+w) — lax.sort instead runs a ~210-stage bitonic network
+    # at HBM speed, so pct_of_bound ~5% is the comparison-sort tax, not
+    # a kernel defect (round-2/3 negative results: compacted tails,
+    # Pallas VMEM tiles, and Pallas gathers all measured worse)
+    'sort': dict(bytes=lambda n: 6 * 10 * 2 * 5 * 4 * n,
+                 gathers=lambda n: 0),
+    # scan of chunk_len=512 steps over a (n/512, 256) u8 state (r+w)
+    # plus the data in/out
+    'mtf': dict(bytes=lambda n: 512 * 2 * (-(-n // 512) * 256) + 8 * n,
+                gathers=lambda n: 0),
+    # ~10 n-sized int32 intermediates (scans, cumsums, scatter-max)
+    'rle2': dict(bytes=lambda n: 10 * 2 * 4 * n, gathers=lambda n: 0),
+    # Lloyd refinement: R=4 sweeps x (cost gather (G, n_chunks x 50) +
+    # histogram) — dominated by the 6n per-symbol table gathers
+    'groups': dict(bytes=lambda n: 4 * 2 * 4 * n,
+                   gathers=lambda n: 6 * n),
+    # 20 bit-candidates per symbol expanded, scattered, packed 8:1
+    'pack': dict(bytes=lambda n: 20 * n * 2 + 8 * n,
+                 gathers=lambda n: 0),
+    # decode: 50th-power next-map composition, 7 binary-powering levels
+    # over (G=6, nbits~2.44n) int32 maps — pure random gathers
+    'walk': dict(bytes=lambda n: 0,
+                 gathers=lambda n: 7 * 6 * int(2.44 * n)),
+    'rle2_undo': dict(bytes=lambda n: 8 * 2 * 4 * n,
+                      gathers=lambda n: 0),
+    'mtf_undo': dict(bytes=lambda n: 512 * 2 * (-(-n // 512) * 256) +
+                     8 * n, gathers=lambda n: 0),
+    # orbit doubling: ~log2(n) rounds of n-element permutation gathers
+    'ibwt': dict(bytes=lambda n: 0, gathers=lambda n: 20 * n),
+    'rle1_undo': dict(bytes=lambda n: 12 * 2 * 4 * n,
+                      gathers=lambda n: 0),
+}
+
+
+def roofline(stage, n, seconds):
+    """Roofline entry for one measured stage: achieved GB/s (by the
+    model's minimal traffic), the binding bound (HBM bandwidth or
+    random-gather issue rate), and the fraction of that bound achieved.
+    pct_of_bound ~ 100 means the stage runs at the hardware limit for
+    its access pattern; small values mark kernel headroom."""
+    m = STAGE_MODELS[stage]
+    b, g = m['bytes'](n), m['gathers'](n)
+    t_hbm = b / (HBM_PEAK_GBS * 1e9)
+    t_gather = g / (GATHER_PEAK_G * 1e9)
+    bound = 'gather' if t_gather > t_hbm else 'hbm'
+    t_bound = max(t_gather, t_hbm)
+    out = {
+        'ms': round(seconds * 1e3, 2),
+        'bytes_moved_mb': round(b / 1e6, 1),
+        'gathers_m': round(g / 1e6, 1),
+        'achieved_gb_s': round(b / seconds / 1e9, 1),
+        'bound': bound,
+        'pct_of_bound': round(100 * t_bound / seconds, 1),
+    }
+    return out
 
 
 def chain_throughput(body, init, n_bytes, iters=10, reps=2):

@@ -1,14 +1,13 @@
 """Device-kernel throughput regression tests (VERDICT round-1 item 7).
 
-Marked `tpu`: they need the real chip.  Thresholds sit ~2x below the
-measured round-2 numbers (v5e, 900 KB sample5 block) so real kernel
-regressions fail loudly while run-to-run noise and minor compiler
-changes do not:
+Marked `tpu`: they need the real chip.  Thresholds ride ~80% of the
+round-2 measured numbers (v5e, 900 KB sample5 block) so a ~25% kernel
+regression fails CI while run-to-run noise does not:
 
-    rotation sort        14.3 MB/s  -> floor 7
-    pallas MTF (512/512) 37.7 MB/s  -> floor 16
+    rotation sort        13.9 MB/s  -> floor 11
+    pallas MTF (512/512) 37.7 MB/s  -> floor 30
     rle2                 119 MB/s   -> floor 50
-    fused full block     >=4.5 MB/s -> floor 2.2
+    fused full block     5.5-6.1    -> floor 4.5
 
 Timing uses profiling.chain_throughput (iterations chained in one jit,
 forced fetch) — wall-clock timers around single dispatches measure the
@@ -53,7 +52,7 @@ def test_sort_throughput(block900):
     mbs, _ = chain_throughput(
         lambda b: (b + (jk.cyclic_suffix_sort(b, n)[0] % 2))
         .astype(jnp.uint8), dblock, n)
-    assert mbs > 7.0, mbs
+    assert mbs > 11.0, mbs
 
 
 def test_mtf_throughput(block900):
@@ -69,7 +68,7 @@ def test_mtf_throughput(block900):
         lambda d: (d + (pk.mtf_encode_pallas(d, n, 512, 256,
                                              interpret=False)[0] % 2))
         .astype(jnp.int32), dense, n)
-    assert mbs > 16.0, mbs
+    assert mbs > 30.0, mbs
 
 
 def test_rle2_throughput(block900):
@@ -98,12 +97,13 @@ def test_full_block_throughput(block900):
             .astype(jnp.uint8)
 
     mbs, _ = chain_throughput(body, dblock, n)
-    assert mbs > 2.2, mbs
+    assert mbs > 4.5, mbs
 
 
 def test_decode_kernel_throughput(block900):
     """Decode-side floors (measured round-2, 900 KB block: rle2 undo
-    44 MB/s, mtf undo 20.5, inverse BWT 5.5, rle1 undo 8.1)."""
+    44 MB/s, mtf undo 20.5, inverse BWT 5.5, rle1 undo 8.1 — floors at
+    ~80% of those)."""
     from compressjs_tpu.ops import jax_kernels as jk
     dblock, block = block900
     n = block.shape[0]
@@ -115,13 +115,13 @@ def test_decode_kernel_throughput(block900):
 
     mbs, _ = chain_throughput(
         lambda s: s + (jk.rle2_decode(s, cap, count)[1] % 2), syms, n)
-    assert mbs > 15.0, ('rle2_decode', mbs)
+    assert mbs > 35.0, ('rle2_decode', mbs)
 
     idx, total = jk.rle2_decode(syms, cap, count)
     idx = jax.device_put(idx)
     mbs, _ = chain_throughput(
         lambda i: i + (jk.mtf_decode(i, cap)[0] % 2), idx, n)
-    assert mbs > 8.0, ('mtf_decode', mbs)
+    assert mbs > 16.0, ('mtf_decode', mbs)
 
     U = jax.device_put(dblock[:n][(jk.cyclic_suffix_sort(dblock, n)
                                    - 1) % n])
@@ -130,10 +130,10 @@ def test_decode_kernel_throughput(block900):
         lambda u: (u + (jk.inverse_bwt_block_masked(
             u, n, jnp.int32(n), pidx)[0] % 2)).astype(jnp.uint8),
         U, n)
-    assert mbs > 2.0, ('inverse_bwt', mbs)
+    assert mbs > 4.4, ('inverse_bwt', mbs)
 
     mbs, _ = chain_throughput(
         lambda p: (p + (jk.rle1_decode_dev(p, n + n // 2,
                                            jnp.int32(n))[1] % 2))
         .astype(jnp.uint8), dblock, n)
-    assert mbs > 3.0, ('rle1_decode', mbs)
+    assert mbs > 6.4, ('rle1_decode', mbs)
