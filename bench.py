@@ -153,8 +153,9 @@ def sub_hetero():
     # outside the timed region; the scheduler itself never force-feeds
     # a cold device
     warm_device(9)
+    # best-of-2, same as the host pipeline (single runs swing ~30%)
     t, comp = _timed(lambda: bytes(hetero_compress_bzip2(corpus, None,
-                                                         9)))
+                                                         9)), reps=2)
     out = bytes(bzip2.decompress_file(comp))
     assert out == corpus.tobytes(), 'hetero roundtrip failed'
     print(json.dumps({'t': t, 'size': len(comp),

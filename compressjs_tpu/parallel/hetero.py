@@ -69,6 +69,12 @@ class _Scheduler:
         # EWMA service times (seconds/block); None until observed
         self.t_host = None
         self.t_dev = None
+        # EWMA claim->done LATENCY (includes in-flight queue wait):
+        # the tail-guard bound — the last claimed block completes about
+        # this long after its claim, and host workers must have at
+        # least that much queue left or they idle at the file tail
+        # waiting on the device (round-3 measured tail stall ~0.5 s)
+        self.t_dev_lat = None
         self.dev_done = 0
         self.dev_claimed = {}       # i -> True while device owns i
         self.stolen = set()
@@ -105,9 +111,22 @@ class _Scheduler:
                     return None
             else:
                 t_h = self.t_host if self.t_host is not None else 0.25
-                drain = q * t_h / self.host_workers
+                # after this claim the hosts have q-1 blocks of runway;
+                # it must cover BOTH the device's pipelined service time
+                # (throughput condition) and the full claim->done
+                # latency of this block (tail condition — otherwise the
+                # last in-flight device blocks outlive the queue and
+                # the ordered assembly stalls on them)
+                drain = (q - 1) * t_h / self.host_workers
+                lat = self.t_dev_lat if self.t_dev_lat is not None \
+                    else self.t_dev
+                # throughput condition carries the safety factor; the
+                # latency (tail) condition runs at margin 1.0 — if the
+                # last device block overruns slightly, an idle host
+                # steals it for one duplicated ~0.1 s block instead of
+                # the device idling a ~1.4 s runway every file tail
                 if self.t_dev is None or \
-                        self.safety * self.t_dev > drain:
+                        max(self.safety * self.t_dev, lat) > drain:
                     self.stats['dev_claims_denied'] += 1
                     return None
             # unclaimable tails sit at the BACK (file end) — skip past
@@ -149,6 +168,9 @@ class _Scheduler:
             self._dev_last_finish = now
             self.t_dev = dt if self.t_dev is None else \
                 0.5 * self.t_dev + 0.5 * dt
+            lat = now - t_claim
+            self.t_dev_lat = lat if self.t_dev_lat is None else \
+                0.5 * self.t_dev_lat + 0.5 * lat
 
     def device_abandoned(self, i):
         """Device exits with i claimed but unfinished: requeue unless a
@@ -231,7 +253,11 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
         syms, freq = pl._mtf_rle2(U, alphabet, alphabet_size)
         header_bits, (payload, total_bits) = pl._finish_block(
             block, int(pidx), syms, len(syms), freq, alphabet_size, used)
-        return header_bits, payload, total_bits
+        # expand to the final bit array HERE (in the worker): the
+        # ordered assembly loop is the serial stage, so per-block
+        # unpackbits there was ~0.2 s of critical-path work at 100 MB
+        return np.concatenate([
+            header_bits, np.unpackbits(payload, count=total_bits)])
 
     errors = []
 
@@ -276,7 +302,9 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
                     fetched
                 header_bits = pl._device_block_header(
                     pidx, lens, g, sel, count, alphabet_size, used)
-                r = (header_bits, payload, total_bits)
+                r = np.concatenate([
+                    header_bits,
+                    np.unpackbits(payload, count=total_bits)])
             elif tag in ('host', 'hostfull'):
                 r = host_block(i)
             else:
@@ -287,7 +315,9 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
                 header_bits, (payload, total_bits) = pl._finish_block(
                     block, int(pidx), syms, len(syms), freq,
                     alphabet_size, used)
-                r = (header_bits, payload, total_bits)
+                r = np.concatenate([
+                    header_bits,
+                    np.unpackbits(payload, count=total_bits)])
             sched.device_finished(i, t_claim)
             publish(i, r, 'device', t_claim)
 
@@ -344,13 +374,12 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
                 if errors:
                     raise errors[0]
                 res_ready.wait()
-            header_bits, payload, total_bits = results.pop(i)
+            bits = results.pop(i)
         crc = blocks[i][1]
         stream_crc = stream_crc_combine(stream_crc, crc)
         out.write_bits(48, WHOLEPI)
         out.write_bits(32, crc)
-        out.write_bit_array(header_bits)
-        out.write_bit_array(np.unpackbits(payload, count=total_bits))
+        out.write_bit_array(bits)
     out.write_bits(48, SQRTPI)
     out.write_bits(32, stream_crc)
     out.flush()

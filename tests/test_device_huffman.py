@@ -198,3 +198,32 @@ def test_device_block_decode_end_to_end():
     assert optr2 == orig_ptr
     assert total == dbuf.shape[0]
     assert np.array_equal(U, dbuf)
+
+
+def test_walk_compose_builds_and_powers_agree(monkeypatch):
+    """Windowed vs gather composition and every power_k produce the
+    identical walk (the TPU picks windowed + small k; CPU gathers)."""
+    data = SAMPLES[0]
+    (comp, sym_start, _optr, _s2b, selectors, groups, eob,
+     ref_syms, ref_end) = _block_parts(data)
+    ref = None
+    for mode in ('gather', 'windowed'):
+        monkeypatch.setenv('COMPRESSJS_TPU_COMPOSE', mode)
+        # the build choice is read at trace time: drop cached traces so
+        # the env override actually selects the implementation
+        dh.huffman_walk_dev.clear_cache()
+        for k in (50, 10, 2):
+            byte0 = sym_start >> 3
+            limits, bases, perms, mins = dh.tables_for_device(
+                groups, len(groups))
+            syms, count, end_bit = dh.huffman_walk_dev(
+                jnp.asarray(comp[byte0:]), sym_start & 7,
+                (comp.shape[0] - byte0) * 8, len(selectors),
+                len(groups), limits, bases, perms, mins,
+                jnp.asarray(selectors, dtype=jnp.int32),
+                jnp.int32(len(selectors)), jnp.int32(eob), k)
+            cur = (int(count), int(end_bit),
+                   np.asarray(syms)[:int(count)].tolist())
+            if ref is None:
+                ref = cur
+            assert cur == ref, (mode, k)
