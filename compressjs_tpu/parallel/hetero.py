@@ -51,12 +51,20 @@ from . import pipeline as pl
 
 
 class _Scheduler:
-    """Shared queue + claim/steal bookkeeping (all under one lock)."""
+    """Shared queue + claim/steal bookkeeping (all under one lock).
+
+    Blocks are FED INCREMENTALLY (feed/close): the RLE1 split of a
+    100 MB input costs ~0.45 s of native work, which round 3 measured
+    as a fully serial prefix before any worker started — the feeder
+    thread now discovers blocks while workers drain them."""
 
     def __init__(self, n, host_workers, safety=1.3, min_queue_factor=8,
                  claimable=None):
         self._dq = deque(range(n))
         self._lock = threading.Lock()
+        self._more = threading.Condition(self._lock)
+        self.closed = n > 0   # pre-filled queues start closed
+        self.total = n if n else None
         # device-claimable predicate (full-size blocks only: tails route
         # to the host path inside the encoder anyway, wasting a device
         # slot AND poisoning the service-time EWMA with a host-speed
@@ -81,18 +89,35 @@ class _Scheduler:
         self.stats = {'host': 0, 'device': 0, 'stolen': 0,
                       'dev_claims_denied': 0}
 
-    def pop_host(self):
-        """Host work: next block in FILE ORDER, else steal from the
-        device's claimed-but-unfinished set."""
+    def feed(self, i):
+        """Feeder thread: block i discovered (appended in file order)."""
         with self._lock:
-            if self._dq:
-                return self._dq.popleft(), False
-            for i in self.dev_claimed:
-                if i not in self.stolen:
-                    self.stolen.add(i)
-                    self.stats['stolen'] += 1
-                    return i, True
-            return None, False
+            self._dq.append(i)
+            self._more.notify_all()
+
+    def close(self, total):
+        with self._lock:
+            self.closed = True
+            self.total = total
+            self._more.notify_all()
+
+    def pop_host(self):
+        """Host work: next block in FILE ORDER (waiting on the feeder if
+        it is still discovering blocks), else steal from the device's
+        claimed-but-unfinished set."""
+        with self._lock:
+            while True:
+                if self._dq:
+                    return self._dq.popleft(), False
+                if not self.closed:
+                    self._more.wait()
+                    continue
+                for i in self.dev_claimed:
+                    if i not in self.stolen:
+                        self.stolen.add(i)
+                        self.stats['stolen'] += 1
+                        return i, True
+                return None, False
 
     def try_claim_device(self):
         """Claim the LAST queued block for the device iff the hosts keep
@@ -208,11 +233,34 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
         if isinstance(data, np.ndarray) \
         else np.frombuffer(bytes(data), dtype=np.uint8)
     block_size = level * 100000 - 19
-    blocks = pl._split_blocks(data, block_size)
-    nblocks = len(blocks)
+    blocks = []   # grows as the feeder splits (appends under the GIL;
+    #               workers only index entries the scheduler handed out)
     sched = _Scheduler(
-        nblocks, host_workers, safety, min_queue_factor,
+        0, host_workers, safety, min_queue_factor,
         claimable=lambda i: blocks[i][0].shape[0] == block_size)
+
+    def feeder():
+        """Incremental RLE1 split: ~0.45 s of native work at 100 MB
+        that used to run as a serial prefix before any worker."""
+        from ..ops import rle as rle_ops
+        from ..utils.crc32 import crc32_bzip2
+        start = 0
+        n = data.shape[0]
+        try:
+            while start < n:
+                block, consumed = rle_ops.rle1_encode(data, start,
+                                                      block_size)
+                if block.shape[0] == 0 or consumed == 0:
+                    break
+                crc = crc32_bzip2(data[start:start + consumed])
+                blocks.append((block, crc))
+                sched.feed(len(blocks) - 1)
+                start += consumed
+        finally:
+            sched.close(len(blocks))
+            with res_ready:              # wake the assembly loop so it
+                res_ready.notify_all()   # can observe the close
+
     results = {}
     res_lock = threading.Lock()
     res_ready = threading.Condition(res_lock)
@@ -343,16 +391,19 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
                         sched.device_abandoned(j)
                     return
                 continue
-            if sched.queue_len() == 0:
+            if sched.closed and sched.queue_len() == 0:
                 return
-            # queue has work but the claim heuristic says the hosts
-            # will drain it before we could help — wait and re-check
-            # (queue only shrinks, so this terminates)
+            # queue has work (or the feeder is still discovering
+            # blocks) but the claim heuristic says the hosts will
+            # drain it before we could help — wait and re-check
+            # (after close the queue only shrinks, so this terminates)
             time.sleep(0.02)
 
+    feed_thread = threading.Thread(target=feeder, daemon=True)
+    feed_thread.start()
     host_threads = []
     dev_thread = None
-    if device and nblocks > 1:
+    if device and data.shape[0] > block_size:
         dev_thread = threading.Thread(target=device_worker, daemon=True)
         dev_thread.start()
     for _ in range(host_workers):
@@ -368,14 +419,20 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
         out.write_byte(ord(ch))
     out.write_byte(ord('0') + level)
     stream_crc = 0
-    for i in range(nblocks):
+    i = 0
+    while True:
         with res_ready:
-            while i not in results:
+            while i not in results and not (
+                    sched.closed and sched.total is not None and
+                    i >= sched.total):
                 if errors:
                     raise errors[0]
                 res_ready.wait()
+            if i not in results:
+                break                    # past the last block
             bits = results.pop(i)
         crc = blocks[i][1]
+        i += 1
         stream_crc = stream_crc_combine(stream_crc, crc)
         out.write_bits(48, WHOLEPI)
         out.write_bits(32, crc)
