@@ -17,9 +17,12 @@ detail carries the rest of the tracked matrix: sample5 host/device
 numbers, device compute-only stage rates (transfers amortized inside one
 jit loop), 100 MB decode, tracked codec configs with size parity, and
 the CPU-mesh scaling validation.  Device pieces run in subprocesses with
-hard timeouts: XLA compiles over the axon tunnel can take minutes and
+hard per-mode timeouts under one total wall budget (BENCH_BUDGET_S, def
+1080 s): XLA compiles over the axon tunnel can take minutes and
 occasionally stall (results are cached under ~/.cache/jax_comp_cache,
-so warm runs skip them).
+so warm runs skip them).  A complete headline JSON line is re-printed
+after every sub-mode, so the last stdout line is always parseable even
+if the driver kills the run.
 """
 
 import json
@@ -37,7 +40,19 @@ CORPUS_PATH = '/tmp/compressjs_tpu_bench/corpus100.bin'
 CORPUS_BYTES = 100 * 1000 * 1000
 BASELINE_ENWIK8_RATE = 100.0 / 1068.51   # MB/s, reference bzip2 -9
 BASELINE_SAMPLE5_SECONDS = 22.57         # reference bzip2 -9 sample5
-DEVICE_TIMEOUT = 1500
+
+# Total wall budget for the whole bench (round-3 lesson: the driver runs
+# bench.py under its own timeout and a kill that leaves no JSON destroys
+# every number — BENCH_r03.json was rc=124/tail="").  The budget is
+# enforced by (a) skipping device sub-modes once spent and (b) printing a
+# complete headline JSON snapshot after EVERY sub-mode, so even an
+# external kill leaves the last snapshot as the parseable tail line.
+TOTAL_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', 1080))
+_T_START = time.time()
+
+
+def _remaining():
+    return TOTAL_BUDGET_S - (time.time() - _T_START)
 
 TRACKED = [
     # (codec, level, sample, reference size)
@@ -123,23 +138,61 @@ def bench_tracked():
     return out
 
 
-def _run_sub(args, timeout):
-    """Run a bench sub-mode in a subprocess; return parsed JSON or None."""
+def _run_sub(args, timeout, submodes=None):
+    """Run a bench sub-mode in a subprocess; return parsed JSON or None.
+
+    Records status + wall seconds into `submodes` so a missing number in
+    the final artifact is diagnosable (VERDICT r3 #8)."""
+    name = args[0].lstrip('-')
+    t0 = time.time()
+    status = 'ok'
+    out = None
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)]
                            + args, capture_output=True, text=True,
                            timeout=timeout)
         for line in (r.stdout or '').splitlines():
             if line.startswith('{'):
-                return json.loads(line)
-        print('# %s failed: %s' % (args, (r.stderr or '')[-300:]
-                                   .replace('\n', ' ')), file=sys.stderr)
+                out = json.loads(line)
+        if out is None:
+            status = 'failed: ' + (r.stderr or '')[-200:].replace('\n', ' ')
+            print('# %s %s' % (args, status), file=sys.stderr)
     except subprocess.TimeoutExpired:
+        status = 'timeout@%ds' % timeout
         print('# %s timed out' % args, file=sys.stderr)
-    return None
+    if submodes is not None:
+        submodes[name] = {'status': status,
+                          'wall_s': round(time.time() - t0, 1)}
+    return out
 
 
 # --- subprocess modes -------------------------------------------------------
+
+def _make_chain_timer(K=10):
+    """chain_time(body, init) -> (seconds_per_iteration, compile_s).
+
+    K invocations chained inside one jit so tunnel transfers amortize
+    away; warmup wall time is reported as compile_s (VERDICT r3 #8: the
+    compile-vs-run split belongs in the artifact)."""
+    import jax
+    from jax import lax
+
+    def chain_time(body, init):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, K, lambda i, c: body(c), x)
+        t0 = time.perf_counter()
+        r = run(init)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = run(init)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / K, compile_s
+    return chain_time
 
 def sub_hetero():
     """Hetero (host+device) encode of the 100 MB corpus."""
@@ -202,10 +255,14 @@ def sub_bwtcl_device():
                        dtype=np.uint8)
     from compressjs_tpu.parallel.pipeline import bwtcl_compress_device, \
         bwtcl_decompress_device
+    t0 = time.perf_counter()
     comp = bytes(bwtcl_compress_device(data, None, 9))  # warmup
+    compile_enc = time.perf_counter() - t0
     t_enc, comp = _timed(lambda: bytes(bwtcl_compress_device(
         data, None, 9)), reps=3)
+    t0 = time.perf_counter()
     out = bytes(bwtcl_decompress_device(comp))          # warmup
+    compile_dec = time.perf_counter() - t0
     assert out == data.tobytes()
     t_dec, out = _timed(lambda: bytes(bwtcl_decompress_device(comp)),
                         reps=3)
@@ -213,7 +270,9 @@ def sub_bwtcl_device():
     from compressjs_tpu.codecs import bwtcl as bl
     assert bytes(bl.BWTCL.decompress_file(comp)) == data.tobytes()
     print(json.dumps({'t_enc': t_enc, 't_dec': t_dec,
-                      'size': len(comp)}))
+                      'size': len(comp),
+                      'compile_s': {'enc': round(compile_enc, 1),
+                                    'dec': round(compile_dec, 1)}}))
 
 
 def sub_bwtcp_device():
@@ -257,30 +316,18 @@ def sub_device_compute():
     dremap = jnp.asarray(remap)
     eob = jnp.int32(int(used.sum()) + 1)
 
-    K = 10
+    chain_time = _make_chain_timer()
 
-    def chain_time(body, init):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, K, lambda i, c: body(c), x)
-        r = run(init)
-        np.asarray(jax.tree_util.tree_leaves(r)[0])
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r = run(init)
-            np.asarray(jax.tree_util.tree_leaves(r)[0])
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / K
-
-    out = {}
-    t = chain_time(lambda b: (b + (jk.cyclic_suffix_sort(b, n)[0] % 2))
-                   .astype(jnp.uint8), dblock)
+    out = {'compile_s': {}}
+    t, cs = chain_time(lambda b: (b + (jk.cyclic_suffix_sort(b, n)[0]
+                                       % 2)).astype(jnp.uint8), dblock)
     out['rotation_sort_mb_s'] = round(n / 1e6 / t, 2)
-    t = chain_time(lambda b: (b + (de.encode_block_full(
+    out['compile_s']['rotation_sort'] = round(cs, 1)
+    t, cs = chain_time(lambda b: (b + (de.encode_block_full(
         b, n, dremap, eob, 256, 'pallas')[2] % 2)).astype(jnp.uint8),
         dblock)
     out['full_block_encode_mb_s'] = round(n / 1e6 / t, 2)
+    out['compile_s']['full_block_encode'] = round(cs, 1)
     print(json.dumps(out))
 
 
@@ -299,23 +346,9 @@ def sub_device_decode():
                        dtype=np.uint8)
     n = 9 * 100000 - 19
 
-    K = 10
+    chain_time = _make_chain_timer()
 
-    def chain_time(body, init):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, K, lambda i, c: body(c), x)
-        r = run(init)
-        np.asarray(jax.tree_util.tree_leaves(r)[0])
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r = run(init)
-            np.asarray(jax.tree_util.tree_leaves(r)[0])
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / K
-
-    out = {}
+    out = {'compile_s': {}}
     comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
                          np.uint8)
     r = bzip2._BitReader(comp)
@@ -341,8 +374,9 @@ def sub_device_decode():
             jnp.asarray(s2b_arr), jnp.int32(optr))
         return p + (cnt % 2).astype(jnp.uint8)
 
-    t = chain_time(dec_body, payload)
+    t, cs = chain_time(dec_body, payload)
     out['full_block_decode_mb_s'] = round(n / 1e6 / t, 2)
+    out['compile_s']['full_block_decode'] = round(cs, 1)
 
     # lane-batched decode (VERDICT r2 #3): vmap B=8 block lanes — the
     # latency-bound composition gathers amortize across lanes, which is
@@ -358,9 +392,10 @@ def sub_device_decode():
         out_b, cnt, _ = vdec(pb, selb)
         return pb + (cnt[0] % 2).astype(jnp.uint8)
 
-    tb = chain_time(dec_body_b,
-                    jnp.broadcast_to(payload, (B,) + payload.shape))
+    tb, cs = chain_time(dec_body_b,
+                        jnp.broadcast_to(payload, (B,) + payload.shape))
     out['device_decode_mb_s_aggregate_b8'] = round(B * n / 1e6 / tb, 2)
+    out['compile_s']['decode_b8'] = round(cs, 1)
     print(json.dumps(out))
 
 
@@ -393,21 +428,10 @@ def sub_device_roofline():
     eob = jnp.int32(int(used.sum()) + 1)
     n_chunks = -(-(n + 1) // de.GROUP_SIZE)
 
-    K = 10
+    _ct = _make_chain_timer()
 
     def chain_time(body, init):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, K, lambda i, c: body(c), x)
-        r = run(init)
-        np.asarray(jax.tree_util.tree_leaves(r)[0])
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r = run(init)
-            np.asarray(jax.tree_util.tree_leaves(r)[0])
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / K
+        return _ct(body, init)[0]
 
     # stage inputs, computed once on device
     @jax.jit
@@ -523,66 +547,15 @@ def sub_mesh_scaling():
 
 # --- main -------------------------------------------------------------------
 
-def main():
-    detail = {}
-    corpus = build_corpus()
-    mb = len(corpus) / 1e6
-
-    t_host, t_dec, size_host = bench_corpus_host(corpus)
-    detail['corpus_host_encode_mb_s'] = round(mb / t_host, 2)
-    detail['corpus_host_decode_mb_s'] = round(mb / t_dec, 2)
-    detail['corpus_compressed_bytes'] = size_host
-
-    het = _run_sub(['--hetero'], DEVICE_TIMEOUT)
-    if het:
-        detail['corpus_hetero_encode_mb_s'] = round(mb / het['t'], 2)
-        assert het['size'] == size_host  # byte-identical pipelines
-
-    s5dev = _run_sub(['--sample5-device'], DEVICE_TIMEOUT)
-    if s5dev:
-        detail['sample5_device_e2e_mb_s'] = round(2.13064 / s5dev['t'],
-                                                  2)
-    s5hyb = _run_sub(['--sample5-hybrid'], DEVICE_TIMEOUT)
-    if s5hyb:
-        detail['sample5_device_hybrid_mb_s'] = round(
-            2.13064 / s5hyb['t'], 2)
-    bcl = _run_sub(['--bwtcl-device'], DEVICE_TIMEOUT)
-    if bcl:
-        detail['bwtcl_device_encode_mb_s'] = round(
-            2.13064 / bcl['t_enc'], 2)
-        detail['bwtcl_device_decode_mb_s'] = round(
-            2.13064 / bcl['t_dec'], 2)
-        detail['bwtcl_size'] = bcl['size']
-    bcp = _run_sub(['--bwtcp-device'], DEVICE_TIMEOUT)
-    if bcp:
-        detail['bwtcp_device_encode_mb_s'] = round(
-            2.13064 / bcp['t'], 2)
-    comp = _run_sub(['--device-compute'], DEVICE_TIMEOUT)
-    if comp:
-        detail['device_compute_only'] = comp
-    dcomp = _run_sub(['--device-decode'], DEVICE_TIMEOUT)
-    if dcomp:
-        detail.setdefault('device_compute_only', {}).update(dcomp)
-    roof = _run_sub(['--device-roofline'], DEVICE_TIMEOUT)
-    if roof:
-        detail['device_roofline'] = roof
-    mesh = _run_sub(['--mesh-scaling'], 900)
-    if mesh:
-        detail['cpu_mesh_validation'] = mesh
-
-    try:
-        detail['tracked'] = bench_tracked()
-    except Exception as e:  # tracked configs must never kill the bench
-        detail['tracked_error'] = str(e)[-200:]
-
+def _emit(detail, het_t, t_host, mb):
+    """Print a complete headline JSON snapshot (flushed).  Called after
+    every sub-mode: the LAST printed line is always the most complete,
+    so an external kill still leaves a parseable artifact tail."""
     best = mb / t_host
     pipeline = 'host pipeline'
-    if het and mb / het['t'] > best:
-        best = mb / het['t']
+    if het_t and mb / het_t > best:
+        best = mb / het_t
         pipeline = 'hetero host+TPU pipeline'
-    detail['baseline'] = ('reference bzip2 -9 enwik8: 0.0936 MB/s '
-                          '(BASELINE.md:42); sample5 detail rates vs '
-                          '22.57 s')
     print(json.dumps({
         'metric': 'bzip2 -9 encode throughput (100MB corpus, %s)'
                   % pipeline,
@@ -590,7 +563,84 @@ def main():
         'unit': 'MB/s',
         'vs_baseline': round(best / BASELINE_ENWIK8_RATE, 2),
         'detail': detail,
-    }))
+    }), flush=True)
+
+
+def main():
+    detail = {'budget_s': TOTAL_BUDGET_S}
+    submodes = detail['submodes'] = {}
+    corpus = build_corpus()
+    mb = len(corpus) / 1e6
+
+    t_host, t_dec, size_host = bench_corpus_host(corpus)
+    detail['corpus_host_encode_mb_s'] = round(mb / t_host, 2)
+    detail['corpus_host_decode_mb_s'] = round(mb / t_dec, 2)
+    detail['corpus_compressed_bytes'] = size_host
+    detail['baseline'] = ('reference bzip2 -9 enwik8: 0.0936 MB/s '
+                          '(BASELINE.md:42); sample5 detail rates vs '
+                          '22.57 s')
+    try:
+        detail['tracked'] = bench_tracked()
+    except Exception as e:  # tracked configs must never kill the bench
+        detail['tracked_error'] = str(e)[-200:]
+    het_t = None
+    _emit(detail, het_t, t_host, mb)   # first parseable snapshot
+
+    def record(sub):
+        name, per_cap, apply = sub
+        # keep >=90s of slack so later cheap snapshots still print
+        cap = min(per_cap, _remaining() - 90)
+        if cap < 60:
+            submodes[name.lstrip('-')] = {'status': 'skipped: budget'}
+            return
+        out = _run_sub([name], cap, submodes)
+        if out:
+            apply(out)
+        _emit(detail, het_t, t_host, mb)
+
+    def ap_hetero(het):
+        nonlocal het_t
+        het_t = het['t']
+        detail['corpus_hetero_encode_mb_s'] = round(mb / het['t'], 2)
+        detail['hetero_stats'] = het.get('stats')
+        assert het['size'] == size_host  # byte-identical pipelines
+
+    def ap_compute(out):
+        detail.setdefault('device_compute_only', {}).update(out)
+
+    def ap_bwtcl(bcl):
+        detail['bwtcl_device_encode_mb_s'] = round(
+            2.13064 / bcl['t_enc'], 2)
+        detail['bwtcl_device_decode_mb_s'] = round(
+            2.13064 / bcl['t_dec'], 2)
+        detail['bwtcl_size'] = bcl['size']
+        detail['bwtcl_compile_s'] = bcl.get('compile_s')
+
+    # ordered by value-per-second; each gets a per-mode cap and the
+    # global budget gate.  A sub-mode that dies only costs its cap.
+    plan = [
+        ('--hetero', 420, ap_hetero),
+        ('--device-compute', 420, ap_compute),
+        ('--device-decode', 420, ap_compute),
+        ('--bwtcl-device', 420, ap_bwtcl),
+        ('--sample5-device', 300,
+         lambda o: detail.__setitem__('sample5_device_e2e_mb_s',
+                                      round(2.13064 / o['t'], 2))),
+        ('--sample5-hybrid', 240,
+         lambda o: detail.__setitem__('sample5_device_hybrid_mb_s',
+                                      round(2.13064 / o['t'], 2))),
+        ('--bwtcp-device', 240,
+         lambda o: detail.__setitem__('bwtcp_device_encode_mb_s',
+                                      round(2.13064 / o['t'], 2))),
+        ('--device-roofline', 300,
+         lambda o: detail.__setitem__('device_roofline', o)),
+        ('--mesh-scaling', 300,
+         lambda o: detail.__setitem__('cpu_mesh_validation', o)),
+    ]
+    for sub in plan:
+        record(sub)
+    detail['total_wall_s'] = round(time.time() - _T_START, 1)
+    _emit(detail, het_t, t_host, mb)
 
 
 if __name__ == '__main__':

@@ -8,7 +8,8 @@ the production kernel):
   oct16   — 16-byte seed, 8x rounds (9-array num_keys=8 sorts)
   oct32   — 32-byte seed, 8x rounds
 
-Also times raw lax.sort at 2/4/8 keys to expose the marginal key cost.
+Also times raw lax.sort at 1/2/4/8 keys to expose the marginal key
+cost (2 keys = the production quad-round seed path baseline).
 Run on TPU: python tools/sort_experiment.py
 """
 import functools
@@ -123,9 +124,9 @@ def main():
     idx = jnp.arange(n, dtype=jnp.int32)
     r = jnp.asarray(np.random.default_rng(0).integers(0, n, n, np.int32))
     variants = {'quad16 (prod)': (4, 4), 'quad32': (8, 4),
-                'oct32': (8, 8)}
+                'oct16': (4, 8), 'oct32': (8, 8)}
     if '--raw' in sys.argv:
-        for nk in (1, 4, 8):
+        for nk in (1, 2, 4, 8):
             arrs = tuple(jnp.roll(r, -j) for j in range(nk)) + (idx,)
             def one(x, arrs=arrs, nk=nk):
                 out = lax.sort(arrs[:-1] + (x,), num_keys=nk)[-1]
@@ -138,6 +139,9 @@ def main():
             key = a.split('=', 1)[1]
             variants = {k: v for k, v in variants.items()
                         if k.startswith(key)}
+            if not variants:
+                print('warning: --only=%s matches no variants' % key,
+                      flush=True)
     for name, (sw, radix) in variants.items():
         got = np.asarray(sort_variant(dblock, n, sw, radix))
         ok = bool((got == ref).all())
