@@ -378,24 +378,14 @@ def sub_device_decode():
     out['full_block_decode_mb_s'] = round(n / 1e6 / t, 2)
     out['compile_s']['full_block_decode'] = round(cs, 1)
 
-    # lane-batched decode (VERDICT r2 #3): vmap B=8 block lanes — the
-    # latency-bound composition gathers amortize across lanes, which is
-    # the mesh/multi-block shape device decode actually runs at
-    B = 8
-    vdec = jax.vmap(lambda p, s: dh.decode_block_full_dev(
-        p, bit0, *caps, limits, bases, perms, mins, s,
-        jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
-        jnp.asarray(s2b_arr), jnp.int32(optr)))
-    selb = jnp.broadcast_to(sel, (B,) + sel.shape)
-
-    def dec_body_b(pb):
-        out_b, cnt, _ = vdec(pb, selb)
-        return pb + (cnt[0] % 2).astype(jnp.uint8)
-
-    tb, cs = chain_time(dec_body_b,
-                        jnp.broadcast_to(payload, (B,) + payload.shape))
-    out['device_decode_mb_s_aggregate_b8'] = round(B * n / 1e6 / tb, 2)
-    out['compile_s']['decode_b8'] = round(cs, 1)
+    # NO vmap B=8 lane metric: measured round 4 (tools/
+    # walk_compile_probe.py steps D/E on the real v5e), the vmapped
+    # walk costs 214 s compile and runs at 1.9 s/lane vs 0.8 s
+    # unbatched — vmap LOSES 2.4x per lane on this chip and the full
+    # vmapped decode does not compile inside 20 min.  Multi-block
+    # device decode therefore uses the per-device single-block program
+    # (the shard_map shape the mesh decode actually runs).
+    out['vmap_b8_note'] = 'dropped: 214s compile, 2.4x/lane slower'
     print(json.dumps(out))
 
 

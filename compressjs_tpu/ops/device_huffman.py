@@ -141,15 +141,20 @@ def _compose_windowed(a, b, blo, bhi, cap):
 
 
 def _use_windowed():
-    """Windowed composition wins on TPU (random gathers are issue-rate
-    bound at ~0.11 G/s there: 369 vs 794 ms/900KB walk) and LOSES on
-    CPU backends, whose gathers run at memory speed — pick per backend
-    (override with COMPRESSJS_TPU_COMPOSE=windowed|gather)."""
+    """Composition build choice.  Round-4 measurement on the real v5e at
+    bench shapes (nbits_cap=2.18M, G=6, tools/walk_compile_probe.py):
+
+        windowed: 374 s one-time XLA compile, 0.4 s warm walk
+        gather:    16 s compile+first-run,    0.8 s warm walk
+
+    The windowed build's 2x runtime win is real, but its compile is what
+    timed out round 3's bench twice (>40 min with the vmapped B=8
+    variant) — a kernel that cannot compile inside a gate budget records
+    nothing.  Default is therefore the gather build everywhere; set
+    COMPRESSJS_TPU_COMPOSE=windowed to opt in when a warmed persistent
+    compile cache is guaranteed."""
     import os
-    mode = os.environ.get('COMPRESSJS_TPU_COMPOSE')
-    if mode in ('windowed', 'gather'):
-        return mode == 'windowed'
-    return jax.default_backend() not in ('cpu',)
+    return os.environ.get('COMPRESSJS_TPU_COMPOSE') == 'windowed'
 
 
 def _power_k(nxt, cap, k):
