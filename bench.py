@@ -138,32 +138,46 @@ def bench_tracked():
     return out
 
 
-def _run_sub(args, timeout, submodes=None):
-    """Run a bench sub-mode in a subprocess; return parsed JSON or None.
+def _run_sub(args, timeout, submodes=None, all_lines=False):
+    """Run a bench sub-mode in a subprocess; return parsed JSON (the
+    last line, or ALL parsed lines when all_lines=True — the suite
+    protocol prints one JSON line per completed section, and a timeout
+    must still salvage the sections that finished).
 
     Records status + wall seconds into `submodes` so a missing number in
     the final artifact is diagnosable (VERDICT r3 #8)."""
     name = args[0].lstrip('-')
     t0 = time.time()
     status = 'ok'
-    out = None
+    stdout = ''
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)]
                            + args, capture_output=True, text=True,
                            timeout=timeout)
-        for line in (r.stdout or '').splitlines():
-            if line.startswith('{'):
-                out = json.loads(line)
-        if out is None:
-            status = 'failed: ' + (r.stderr or '')[-200:].replace('\n', ' ')
-            print('# %s %s' % (args, status), file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        status = 'timeout@%ds' % timeout
+        stdout = r.stdout or ''
+        stderr = r.stderr or ''
+    except subprocess.TimeoutExpired as e:
+        status = 'timeout@%ds' % int(timeout)
+        stdout = (e.stdout or b'').decode('utf-8', 'replace') \
+            if isinstance(e.stdout, bytes) else (e.stdout or '')
+        stderr = ''
         print('# %s timed out' % args, file=sys.stderr)
+    parsed = []
+    for line in stdout.splitlines():
+        if line.startswith('{'):
+            try:
+                parsed.append(json.loads(line))
+            except ValueError:
+                pass
+    if not parsed and status == 'ok':
+        status = 'failed: ' + stderr[-200:].replace('\n', ' ')
+        print('# %s %s' % (args, status), file=sys.stderr)
     if submodes is not None:
         submodes[name] = {'status': status,
                           'wall_s': round(time.time() - t0, 1)}
-    return out
+    if all_lines:
+        return parsed
+    return parsed[-1] if parsed else None
 
 
 # --- subprocess modes -------------------------------------------------------
@@ -194,63 +208,68 @@ def _make_chain_timer(K=10):
         return min(ts) / K, compile_s
     return chain_time
 
-def sub_hetero():
-    """Hetero (host+device) encode of the 100 MB corpus."""
-    _enable_compile_cache()
+def sec_hetero():
+    """Hetero (host+device) encode of the 100 MB corpus.  Callers warm
+    the device first (sec_warm); best-of-2 like the host pipeline."""
     corpus = build_corpus()
     from compressjs_tpu.codecs import bzip2
-    from compressjs_tpu.parallel.hetero import hetero_compress_bzip2, \
-        warm_device
-
-    # compile every device shape (incl. the bucketed fetch ladder)
-    # outside the timed region; the scheduler itself never force-feeds
-    # a cold device
-    warm_device(9)
-    # best-of-2, same as the host pipeline (single runs swing ~30%)
+    from compressjs_tpu.parallel.hetero import hetero_compress_bzip2
     t, comp = _timed(lambda: bytes(hetero_compress_bzip2(corpus, None,
                                                          9)), reps=2)
     out = bytes(bzip2.decompress_file(comp))
     assert out == corpus.tobytes(), 'hetero roundtrip failed'
-    print(json.dumps({'t': t, 'size': len(comp),
-                      'stats': hetero_compress_bzip2.last_stats}))
+    return {'t': t, 'size': len(comp),
+            'stats': hetero_compress_bzip2.last_stats}
 
 
-def sub_sample5_device():
+def sec_warm():
+    """Compile the device encode pipeline (the one program every encode
+    section shares — see DeviceBzip2Encoder.fixed_width) outside any
+    timed region.  Over the axon tunnel this is the dominant one-time
+    cost (measured 220-600 s; no local cache covers it)."""
+    from compressjs_tpu.parallel.hetero import warm_device
+    t0 = time.perf_counter()
+    warm_device(9)
+    return {'compile_s': round(time.perf_counter() - t0, 1)}
+
+
+def sec_sample5_device():
     """All-device pipeline, sample5 end-to-end (tunnel transfers and
     dispatch latency included)."""
-    _enable_compile_cache()
     data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
                        dtype=np.uint8)
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
     enc = DeviceBzip2Encoder(level=9, mode='full')
+    t0 = time.perf_counter()
     bytes(enc.compress(data))   # warmup compiles; bytes() forces sync
+    compile_s = time.perf_counter() - t0
     t, comp = _timed(lambda: bytes(enc.compress(data)), reps=3)
     assert bytes(bzip2.decompress_file(comp)) == data.tobytes()
     assert len(comp) <= 275087
-    print(json.dumps({'t': t, 'size': len(comp)}))
+    return {'t': t, 'size': len(comp), 'compile_s': round(compile_s, 1)}
 
 
-def sub_sample5_hybrid():
+def sec_sample5_hybrid():
     """Hybrid pipeline (sort+BWT on device, entropy on host), sample5
     end-to-end — the per-mode number VERDICT r2 #9 asked for."""
-    _enable_compile_cache()
     data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
                        dtype=np.uint8)
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.parallel.pipeline import DeviceBzip2Encoder
     enc = DeviceBzip2Encoder(level=9, mode='hybrid')
+    t0 = time.perf_counter()
     bytes(enc.compress(data))   # warmup compiles
+    compile_s = time.perf_counter() - t0
     t, comp = _timed(lambda: bytes(enc.compress(data)), reps=3)
     assert bytes(bzip2.decompress_file(comp)) == data.tobytes()
-    print(json.dumps({'t': t, 'size': len(comp)}))
+    return {'t': t, 'size': len(comp), 'compile_s': round(compile_s, 1)}
 
 
-def sub_bwtcl_device():
+def sec_bwtcl_device():
     """BWTC-L (lane-interleaved entropy format): all-device encode AND
     decode of sample5, end-to-end with transfers — the batched
     coder/model kernels at their L=128-lane design point."""
-    _enable_compile_cache()
     data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
                        dtype=np.uint8)
     from compressjs_tpu.parallel.pipeline import bwtcl_compress_device, \
@@ -269,37 +288,63 @@ def sub_bwtcl_device():
     assert out == data.tobytes()
     from compressjs_tpu.codecs import bwtcl as bl
     assert bytes(bl.BWTCL.decompress_file(comp)) == data.tobytes()
-    print(json.dumps({'t_enc': t_enc, 't_dec': t_dec,
-                      'size': len(comp),
-                      'compile_s': {'enc': round(compile_enc, 1),
-                                    'dec': round(compile_dec, 1)}}))
+    return {'t_enc': t_enc, 't_dec': t_dec, 'size': len(comp),
+            'compile_s': {'enc': round(compile_enc, 1),
+                          'dec': round(compile_dec, 1)}}
 
 
-def sub_bwtcp_device():
+def sec_bwtcp_device():
     """BWTC-P encode with the per-block EOF BWTs on the device mesh
     (single-chip here) + threaded host coders."""
-    _enable_compile_cache()
     import jax
     data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
                        dtype=np.uint8)
     from compressjs_tpu.codecs import bwtcp
     from compressjs_tpu.parallel import mesh as pmesh
     m = pmesh.make_mesh(jax.devices()[:1])
+    t0 = time.perf_counter()
     comp = bytes(pmesh.mesh_compress_bwtcp(m, data, 9))  # warmup
+    compile_s = time.perf_counter() - t0
     t, comp = _timed(lambda: bytes(pmesh.mesh_compress_bwtcp(
         m, data, 9)), reps=3)
     assert bytes(bwtcp.BWTCP.decompress_file(comp)) == data.tobytes()
-    print(json.dumps({'t': t, 'size': len(comp)}))
+    return {'t': t, 'size': len(comp), 'compile_s': round(compile_s, 1)}
 
 
-def sub_device_compute():
-    """Compute-only device stage rates: K invocations chained inside one
-    jit so tunnel transfers amortize away (the multi-chip mesh number is
-    N x these)."""
-    _enable_compile_cache()
+def _direct_timer():
+    """Time repeated direct dispatches of an already-jitted program whose
+    input stays on device (K back-to-back calls, one tiny probe fetch at
+    the end).  Replaces the round-3 fori-chained timers: each chained
+    wrapper was a SECOND 35-100 s XLA compile of a program the
+    production path never runs, while direct dispatch times the exact
+    executable hetero/mesh use (~ms dispatch overhead included — which
+    the production path also pays)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
+    probe = jax.jit(lambda x: x.reshape(-1)[0] % 2)
+
+    def timed(f, arg, K=6):
+        t0 = time.perf_counter()
+        int(np.asarray(probe(f(arg))))
+        compile_s = time.perf_counter() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(K):
+                r = f(arg)
+            int(np.asarray(probe(r)))
+            dt = (time.perf_counter() - t0) / K
+            best = dt if best is None else min(best, dt)
+        return best, compile_s
+    return timed
+
+
+def sec_device_compute():
+    """Compute-only device stage rates (input resident on device,
+    direct dispatch of the production executables)."""
+    import jax
+    import jax.numpy as jnp
     from compressjs_tpu.ops import jax_kernels as jk
     from compressjs_tpu.ops import device_entropy as de
     from compressjs_tpu.ops import rle as rle_ops
@@ -313,42 +358,42 @@ def sub_device_compute():
     used[block] = True
     remap = np.zeros(256, dtype=np.int32)
     remap[np.nonzero(used)[0]] = np.arange(int(used.sum()))
-    dremap = jnp.asarray(remap)
+    dremap = jax.device_put(jnp.asarray(remap))
     eob = jnp.int32(int(used.sum()) + 1)
-
-    chain_time = _make_chain_timer()
+    timed = _direct_timer()
 
     out = {'compile_s': {}}
-    t, cs = chain_time(lambda b: (b + (jk.cyclic_suffix_sort(b, n)[0]
-                                       % 2)).astype(jnp.uint8), dblock)
+    t, cs = timed(lambda b: jk.cyclic_suffix_sort(b, n), dblock)
     out['rotation_sort_mb_s'] = round(n / 1e6 / t, 2)
     out['compile_s']['rotation_sort'] = round(cs, 1)
-    t, cs = chain_time(lambda b: (b + (de.encode_block_full(
-        b, n, dremap, eob, 256, 'pallas')[2] % 2)).astype(jnp.uint8),
-        dblock)
+    # same (width=256, mtf=pallas) program DeviceBzip2Encoder submits,
+    # so a sec_warm that ran first makes this compile_s ~0
+    t, cs = timed(lambda b: de.encode_block_full(
+        b, n, dremap, eob, 256, 'pallas')[1], dblock)
     out['full_block_encode_mb_s'] = round(n / 1e6 / t, 2)
     out['compile_s']['full_block_encode'] = round(cs, 1)
-    print(json.dumps(out))
+    return out
 
 
-def sub_device_decode():
+def sec_device_decode():
     """Compute-only all-device block decode rate (parallel Huffman walk
-    -> RLE2/MTF undo -> inverse BWT -> RLE1 undo), chained like
-    sub_device_compute."""
-    _enable_compile_cache()
+    -> RLE2/MTF undo -> inverse BWT -> RLE1 undo), direct dispatch.
+
+    NO vmap B=8 lane metric: measured round 4 (tools/
+    walk_compile_probe.py steps D/E on the real v5e), the vmapped walk
+    costs 214 s compile and runs at 1.9 s/lane vs 0.8 s unbatched —
+    vmap LOSES 2.4x per lane on this chip and the full vmapped decode
+    does not compile inside 20 min.  Multi-block device decode
+    therefore uses the per-device single-block program (the shard_map
+    shape the mesh decode actually runs)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.ops import device_huffman as dh
 
     data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
                        dtype=np.uint8)
     n = 9 * 100000 - 19
-
-    chain_time = _make_chain_timer()
-
-    out = {'compile_s': {}}
     comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
                          np.uint8)
     r = bzip2._BitReader(comp)
@@ -366,27 +411,60 @@ def sub_device_decode():
     sel = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
     caps = ((comp.shape[0] - byte0) * 8, len(selectors), len(groups),
             900000 + 8, 1000000)
+    timed = _direct_timer()
 
-    def dec_body(p):
-        out_b, cnt, _ = dh.decode_block_full_dev(
-            p, bit0, *caps, limits, bases, perms, mins, sel,
-            jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
-            jnp.asarray(s2b_arr), jnp.int32(optr))
-        return p + (cnt % 2).astype(jnp.uint8)
-
-    t, cs = chain_time(dec_body, payload)
+    out = {'compile_s': {}}
+    t, cs = timed(lambda p: dh.decode_block_full_dev(
+        p, bit0, *caps, limits, bases, perms, mins, sel,
+        jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
+        jnp.asarray(s2b_arr), jnp.int32(optr))[0], payload, K=4)
     out['full_block_decode_mb_s'] = round(n / 1e6 / t, 2)
     out['compile_s']['full_block_decode'] = round(cs, 1)
-
-    # NO vmap B=8 lane metric: measured round 4 (tools/
-    # walk_compile_probe.py steps D/E on the real v5e), the vmapped
-    # walk costs 214 s compile and runs at 1.9 s/lane vs 0.8 s
-    # unbatched — vmap LOSES 2.4x per lane on this chip and the full
-    # vmapped decode does not compile inside 20 min.  Multi-block
-    # device decode therefore uses the per-device single-block program
-    # (the shard_map shape the mesh decode actually runs).
     out['vmap_b8_note'] = 'dropped: 214s compile, 2.4x/lane slower'
-    print(json.dumps(out))
+    return out
+
+
+SUITE_SECTIONS = [
+    # (name, fn, min_seconds_remaining_to_start)
+    ('warm', sec_warm, 500),
+    ('hetero', sec_hetero, 80),
+    ('sample5_device', sec_sample5_device, 40),
+    ('device_compute', sec_device_compute, 60),
+    ('device_decode', sec_device_decode, 120),
+    ('bwtcl_device', sec_bwtcl_device, 180),
+    ('sample5_hybrid', sec_sample5_hybrid, 60),
+    ('bwtcp_device', sec_bwtcp_device, 60),
+]
+
+
+def sub_device_suite():
+    """All single-chip TPU measurements in ONE process, ordered by
+    value: the dominant cost on this chip is server-side XLA compiles
+    over the axon tunnel (100-600 s each, no local cache applies), and
+    the sections share compiled programs (sec_warm's encode_block_full
+    is the same executable hetero, sample5_device and device_compute
+    dispatch).  One JSON line per completed section (flushed) — the
+    parent merges every line it got even if it must kill us."""
+    _enable_compile_cache()
+    budget = 600.0
+    for a in sys.argv[1:]:
+        if a.startswith('--suite-budget='):
+            budget = float(a.split('=', 1)[1])
+    t0 = time.time()
+    for name, fn, need in SUITE_SECTIONS:
+        left = budget - (time.time() - t0)
+        if left < need:
+            print(json.dumps({'section': name,
+                              'skipped': 'budget (%.0fs left)' % left}),
+                  flush=True)
+            continue
+        try:
+            out = fn()
+        except Exception as e:
+            out = {'error': '%s: %s' % (type(e).__name__, str(e)[-160:])}
+        out['section'] = name
+        out['at_s'] = round(time.time() - t0, 1)
+        print(json.dumps(out), flush=True)
 
 
 def sub_device_roofline():
@@ -576,27 +654,12 @@ def main():
     het_t = None
     _emit(detail, het_t, t_host, mb)   # first parseable snapshot
 
-    def record(sub):
-        name, per_cap, apply = sub
-        # keep >=90s of slack so later cheap snapshots still print
-        cap = min(per_cap, _remaining() - 90)
-        if cap < 60:
-            submodes[name.lstrip('-')] = {'status': 'skipped: budget'}
-            return
-        out = _run_sub([name], cap, submodes)
-        if out:
-            apply(out)
-        _emit(detail, het_t, t_host, mb)
-
     def ap_hetero(het):
         nonlocal het_t
         het_t = het['t']
         detail['corpus_hetero_encode_mb_s'] = round(mb / het['t'], 2)
         detail['hetero_stats'] = het.get('stats')
         assert het['size'] == size_host  # byte-identical pipelines
-
-    def ap_compute(out):
-        detail.setdefault('device_compute_only', {}).update(out)
 
     def ap_bwtcl(bcl):
         detail['bwtcl_device_encode_mb_s'] = round(
@@ -606,51 +669,75 @@ def main():
         detail['bwtcl_size'] = bcl['size']
         detail['bwtcl_compile_s'] = bcl.get('compile_s')
 
-    # ordered by value-per-second; each gets a per-mode cap and the
-    # global budget gate.  A sub-mode that dies only costs its cap.
-    plan = [
-        ('--hetero', 420, ap_hetero),
-        ('--device-compute', 420, ap_compute),
-        ('--device-decode', 420, ap_compute),
-        ('--bwtcl-device', 420, ap_bwtcl),
-        ('--sample5-device', 300,
-         lambda o: detail.__setitem__('sample5_device_e2e_mb_s',
-                                      round(2.13064 / o['t'], 2))),
-        ('--sample5-hybrid', 240,
-         lambda o: detail.__setitem__('sample5_device_hybrid_mb_s',
-                                      round(2.13064 / o['t'], 2))),
-        ('--bwtcp-device', 240,
-         lambda o: detail.__setitem__('bwtcp_device_encode_mb_s',
-                                      round(2.13064 / o['t'], 2))),
-        ('--device-roofline', 300,
-         lambda o: detail.__setitem__('device_roofline', o)),
-        ('--mesh-scaling', 300,
-         lambda o: detail.__setitem__('cpu_mesh_validation', o)),
-    ]
-    for sub in plan:
-        record(sub)
+    section_apply = {
+        'warm': lambda o: detail.__setitem__('device_warm_compile_s',
+                                             o.get('compile_s')),
+        'hetero': ap_hetero,
+        'sample5_device': lambda o: detail.__setitem__(
+            'sample5_device_e2e_mb_s', round(2.13064 / o['t'], 2)),
+        'device_compute': lambda o: detail.setdefault(
+            'device_compute_only', {}).update(
+                {k: v for k, v in o.items()
+                 if k not in ('section', 'at_s')}),
+        'device_decode': lambda o: detail.setdefault(
+            'device_compute_only', {}).update(
+                {k: v for k, v in o.items()
+                 if k not in ('section', 'at_s', 'compile_s')}),
+        'bwtcl_device': ap_bwtcl,
+        'sample5_hybrid': lambda o: detail.__setitem__(
+            'sample5_device_hybrid_mb_s', round(2.13064 / o['t'], 2)),
+        'bwtcp_device': lambda o: detail.__setitem__(
+            'bwtcp_device_encode_mb_s', round(2.13064 / o['t'], 2)),
+    }
+
+    # one subprocess for every single-chip TPU section (shared compiled
+    # programs; per-section JSON lines salvaged even on timeout), then
+    # the CPU-mesh validation in its own (cpu-platform) subprocess
+    suite_budget = max(0, _remaining() - 150)
+    lines = _run_sub(['--device-suite',
+                      '--suite-budget=%d' % suite_budget],
+                     suite_budget + 60, submodes, all_lines=True)
+    sections = detail['sections'] = {}
+    for o in lines or []:
+        name = o.get('section')
+        if not name:
+            continue
+        status = ('skipped' if 'skipped' in o else
+                  'error' if 'error' in o else 'ok')
+        sections[name] = {'status': status,
+                          'at_s': o.get('at_s'),
+                          'detail': o.get('skipped') or o.get('error')}
+        if status == 'ok' and name in section_apply:
+            try:
+                section_apply[name](o)
+            except Exception as e:
+                sections[name] = {'status': 'apply-error: %s' % e}
+    _emit(detail, het_t, t_host, mb)
+
+    mesh = _run_sub(['--mesh-scaling'],
+                    min(300, max(60, _remaining() - 30)), submodes)
+    if mesh:
+        detail['cpu_mesh_validation'] = mesh
     detail['total_wall_s'] = round(time.time() - _T_START, 1)
     _emit(detail, het_t, t_host, mb)
 
 
+def _run_section_standalone(name):
+    _enable_compile_cache()
+    fn = dict((n, f) for n, f, _ in SUITE_SECTIONS)[name]
+    print(json.dumps(fn()))
+
+
 if __name__ == '__main__':
-    if '--hetero' in sys.argv:
-        sub_hetero()
-    elif '--sample5-device' in sys.argv:
-        sub_sample5_device()
-    elif '--sample5-hybrid' in sys.argv:
-        sub_sample5_hybrid()
-    elif '--bwtcl-device' in sys.argv:
-        sub_bwtcl_device()
-    elif '--bwtcp-device' in sys.argv:
-        sub_bwtcp_device()
-    elif '--device-compute' in sys.argv:
-        sub_device_compute()
-    elif '--device-decode' in sys.argv:
-        sub_device_decode()
+    if '--device-suite' in sys.argv:
+        sub_device_suite()
     elif '--device-roofline' in sys.argv:
         sub_device_roofline()
     elif '--mesh-scaling' in sys.argv:
         sub_mesh_scaling()
     else:
+        for _a in sys.argv[1:]:
+            if _a.startswith('--section='):
+                _run_section_standalone(_a.split('=', 1)[1])
+                sys.exit(0)
         main()

@@ -149,12 +149,24 @@ class DeviceBzip2Encoder:
     computes ahead of the host assembly loop."""
 
     def __init__(self, level=9, mode='hybrid', self_check=False,
-                 batch=False):
+                 batch=False, fixed_width=None):
         if not 1 <= level <= 9:
             raise ValueError('Invalid block size multiplier')
         self.level = level
         self.block_size = level * 100000 - 19
         self.mode = mode
+        # One MTF width for every block.  The per-alphabet 64/128/256
+        # ladder tripled the compiled-program surface, and over the axon
+        # tunnel each encode_block_full variant costs 100-500 s of
+        # server-side XLA compile that no local cache avoids (measured
+        # round 4) — warm_device would warm width 256 (random data) and
+        # the first real text block would then stall the timed region
+        # compiling the width-128 variant.  The narrow widths' MTF-scan
+        # saving is small next to that; default to the universal 256 on
+        # TPU, ladder only where compiles are cheap (CPU tests).
+        if fixed_width is None:
+            fixed_width = 256 if jax.default_backend() == 'tpu' else 0
+        self.fixed_width = fixed_width
         # batch=True dispatches all full-size blocks as ONE vmapped
         # device call (jk.bwt_block_batch).  Measured on a single v5e:
         # the async per-block dispatch already hides transfer latency
@@ -175,8 +187,9 @@ class DeviceBzip2Encoder:
             # odd-length tail: each distinct shape would cost a fresh XLA
             # compile; the native host BWT handles it instead
             return ('host', block)
-        width = (64 if alphabet_size + 2 <= 64 else
-                 128 if alphabet_size + 2 <= 128 else 256)
+        width = self.fixed_width or \
+            (64 if alphabet_size + 2 <= 64 else
+             128 if alphabet_size + 2 <= 128 else 256)
         if self.mode == 'full':
             # all-device block encode: the host only sees packed payload
             # bytes + the tiny header matrices (ops.device_entropy)
