@@ -3,6 +3,11 @@ import sys
 
 # Sharding tests run on a virtual 8-device CPU mesh; the real-TPU bench
 # path sets its own platform.  Must be configured before jax import.
+# COMPRESSJS_TPU_REAL=1 opts OUT of the CPU pin so the `-m tpu` perf
+# floors (test_perf_regression.py) can reach the real chip:
+#   COMPRESSJS_TPU_REAL=1 python -m pytest tests/test_perf_regression.py \
+#       -m tpu -o addopts=""
+_REAL_TPU = os.environ.get('COMPRESSJS_TPU_REAL') == '1'
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
@@ -15,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # wins over JAX_PLATFORMS; the config update below reliably pins tests to
 # the virtual-device CPU mesh.
 import jax  # noqa: E402
-jax.config.update('jax_platforms', 'cpu')
+if not _REAL_TPU:
+    jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
 

@@ -71,7 +71,7 @@ def xla_gather(perm, vals):
 
 def _scatter_kernel(idx_ref, val_ref, out_ref):
     def body(i, _):
-        out_ref[idx_ref[i]] = val_ref[i]
+        out_ref[pl.ds(idx_ref[i], 1)] = val_ref[pl.ds(i, 1)]
         return 0
     lax.fori_loop(0, idx_ref.shape[0], body, 0)
 
