@@ -220,7 +220,7 @@ def warm_device(level=9, mode='full'):
 
 
 def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
-                          device=True, device_inflight=3,
+                          device=True, device_inflight=5,
                           device_mode='full', safety=1.3,
                           min_queue_factor=8, _encoder_factory=None):
     """Encode `data` with host workers + (optionally) the device pipeline
@@ -228,7 +228,14 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
     (or writes to `output`).  Guaranteed-additive: see module docstring.
 
     `_encoder_factory` is a test hook (returns a DeviceBzip2Encoder-like
-    object with `_submit` and `_fetch_full`)."""
+    object with `_submit` and `_fetch_full`).
+
+    device_inflight=5 from the round-4 sweep (tools/hetero_tune.py,
+    100 MB corpus, real v5e): 3 -> 5 cut claim denials 27 -> 8 and
+    measured the best rate (17.47 MB/s vs 15.92 baseline; host-only
+    15.2-17.0 across the same session, so treat deltas under ~1 MB/s
+    as noise).  Deeper in-flight queues (8) started stealing; hybrid
+    mode was not better than full."""
     data = np.asarray(data, dtype=np.uint8) \
         if isinstance(data, np.ndarray) \
         else np.frombuffer(bytes(data), dtype=np.uint8)
