@@ -190,10 +190,20 @@ def _power50(nxt, cap):
     return _power_k(nxt, cap, GROUP_SIZE)
 
 
+# Default composition power: round-4 sweep on the real v5e (gather
+# build, sample5 shapes, warm): k=50 798 ms, 25 709, 10 529, 5 487,
+# **2 433**, 1 563 — the chase steps a smaller k adds are cheaper than
+# the composition gathers it removes until k=2, where the ~13 M
+# remaining gathers balance the 147 K-step chase.  All variants
+# compile in 14-25 s (the k=50 windowed build's 374-481 s compile is
+# what round 3 died on).
+POWER_K_DEFAULT = 2
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 12))
 def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
                      limits, bases, permutes, min_lens, selectors,
-                     n_selectors, eob, power_k=GROUP_SIZE):
+                     n_selectors, eob, power_k=POWER_K_DEFAULT):
     """Decode a bzip2 block's Huffman payload into its symbol stream.
 
     payload_bytes: uint8, the data from the byte containing the first
@@ -295,7 +305,7 @@ def decode_block_full_dev(payload_bytes, bit0, nbits_cap, s_cap,
                           n_groups, dbuf_cap, out_cap,
                           limits, bases, permutes, min_lens, selectors,
                           n_selectors, eob, sym_to_byte, pidx,
-                          power_k=GROUP_SIZE):
+                          power_k=POWER_K_DEFAULT):
     """All-device bzip2 block decode: parallel Huffman walk -> RLE2
     undo -> MTF undo -> used-alphabet map -> inverse BWT -> RLE1 undo.
     The mirror of device_entropy.encode_block_full: the host supplies
