@@ -210,15 +210,23 @@ def _make_chain_timer(K=10):
 
 def sec_hetero():
     """Hetero (host+device) encode of the 100 MB corpus.  Callers warm
-    the device first (sec_warm); best-of-2 like the host pipeline."""
+    the device first (sec_warm); best-of-2 like the host pipeline.
+
+    Also times a host-only encode IMMEDIATELY adjacent: the shared
+    2-core host swings +-10% across a bench run, which is larger than
+    the chip's contribution, so only a paired same-moment comparison
+    says whether hetero added throughput (t_host_adjacent)."""
     corpus = build_corpus()
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.parallel.hetero import hetero_compress_bzip2
+    t_host_adj, _ = _timed(
+        lambda: bytes(bzip2.compress_file(corpus, None, 9)), reps=2)
     t, comp = _timed(lambda: bytes(hetero_compress_bzip2(corpus, None,
                                                          9)), reps=2)
     out = bytes(bzip2.decompress_file(comp))
     assert out == corpus.tobytes(), 'hetero roundtrip failed'
     return {'t': t, 'size': len(comp),
+            't_host_adjacent': t_host_adj,
             'stats': hetero_compress_bzip2.last_stats}
 
 
@@ -658,6 +666,9 @@ def main():
         nonlocal het_t
         het_t = het['t']
         detail['corpus_hetero_encode_mb_s'] = round(mb / het['t'], 2)
+        if het.get('t_host_adjacent'):
+            detail['corpus_host_encode_adjacent_mb_s'] = round(
+                mb / het['t_host_adjacent'], 2)
         detail['hetero_stats'] = het.get('stats')
         assert het['size'] == size_host  # byte-identical pipelines
 
