@@ -210,13 +210,44 @@ def warm_device(level=9, mode='full'):
     """Compile every device shape hetero will use (one synthetic block
     through the DeviceBzip2Encoder, fetch included) WITHOUT the claim
     heuristics — bench/warmup helper; the scheduler itself never force-
-    feeds the device."""
+    feeds the device.
+
+    The block is TEXT-LIKE, not random: a random block is incompressible,
+    so its payload fetch lands in the top bucket and the 2-4 buckets
+    real blocks hit (~128-512 KB payloads) would each compile their
+    slice program MID-RUN, stalling the device pipeline for seconds per
+    first-seen bucket.  The remaining bucket ladder is force-compiled
+    below via direct payload slices."""
     rng = np.random.default_rng(0)
     block_size = level * 100000 - 19
-    data = rng.integers(0, 256, size=block_size + 4,
-                        dtype=np.uint8)
+    words = (b'the quick brown fox jumps over the lazy dog ',
+             b'pack my box with five dozen liquor jugs ',
+             b'0123456789 abcdefghijklmnopqrstuvwxyz ')
+    base = b''.join(words[i % 3] for i in range(64))
+    reps = -(-(block_size + 4) // len(base))
+    data = np.frombuffer(base * reps, dtype=np.uint8)[:block_size + 4]
     enc = pl.DeviceBzip2Encoder(level, mode=mode)
-    return bytes(enc.compress(data))
+    out = bytes(enc.compress(data))
+    if mode == 'full':
+        # force-compile every fetch-bucket slice on a device payload
+        # buffer (cheap slice programs, but seconds each if first seen
+        # while the scheduler is live)
+        import jax.numpy as jnp
+        from ..ops import device_entropy as de
+        cap = de.payload_cap_bytes(block_size)
+        payload = jnp.zeros(cap, dtype=jnp.uint8)
+        # realistic text compresses to ~130-450 KB/block: warm the four
+        # low buckets + the cap (each first-seen bucket otherwise costs
+        # a multi-second slice compile while the scheduler is live)
+        b = enc.FETCH_BUCKET
+        while b <= min(4 * enc.FETCH_BUCKET, cap):
+            np.asarray(payload[:b])
+            b += enc.FETCH_BUCKET
+        np.asarray(payload[:cap])
+        # noise data exercises the top bucket + overflow guard path
+        noise = rng.integers(0, 256, size=block_size + 4, dtype=np.uint8)
+        out = bytes(enc.compress(noise))
+    return out
 
 
 def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
@@ -316,7 +347,26 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
 
     errors = []
 
+    # Thread priority split (Linux: niceness is per-LWP, so
+    # os.setpriority with who=0 affects the calling thread only).  The
+    # device driver thread's work is short bursts of dispatch/fetch
+    # glue, but on a host whose every core runs a busy worker it wakes
+    # late and the measured device service time doubles (~0.25 ->
+    # ~0.5 s/block).  Deprioritizing the host workers a notch lets the
+    # driver preempt for its bursts.  Opt-out: COMPRESSJS_TPU_NICE=0.
+    _nice_spread = int(os.environ.get('COMPRESSJS_TPU_NICE', '2'))
+
+    def _renice(delta):
+        if not _nice_spread or delta == 0:
+            return
+        try:
+            os.setpriority(os.PRIO_PROCESS, 0,
+                           os.getpriority(os.PRIO_PROCESS, 0) + delta)
+        except (OSError, AttributeError):
+            pass
+
     def host_worker():
+        _renice(_nice_spread)
         try:
             while True:
                 i, was_steal = sched.pop_host()
