@@ -138,20 +138,22 @@ def bench_tracked():
     return out
 
 
-def _run_sub(args, timeout, submodes=None, all_lines=False):
+def _run_sub(args, timeout, submodes=None, all_lines=False, exe=None):
     """Run a bench sub-mode in a subprocess; return parsed JSON (the
     last line, or ALL parsed lines when all_lines=True — the suite
     protocol prints one JSON line per completed section, and a timeout
     must still salvage the sections that finished).
 
     Records status + wall seconds into `submodes` so a missing number in
-    the final artifact is diagnosable (VERDICT r3 #8)."""
+    the final artifact is diagnosable (VERDICT r3 #8).  `exe` overrides
+    the child command (tests)."""
     name = args[0].lstrip('-')
     t0 = time.time()
     status = 'ok'
     stdout = ''
     try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)]
+        r = subprocess.run((exe or [sys.executable,
+                                    os.path.abspath(__file__)])
                            + args, capture_output=True, text=True,
                            timeout=timeout)
         stdout = r.stdout or ''
