@@ -73,6 +73,14 @@ class _Scheduler:
             else (lambda i: True)
         self.host_workers = max(1, host_workers)
         self.safety = safety
+        # tail_guard=0 drops the claim->done latency term from the
+        # claim gate (throughput condition only): the work-stealing
+        # path makes a tail overrun cost one duplicated ~0.1 s block on
+        # an otherwise-IDLE host, so refusing the last ~lat*rate blocks
+        # trades real device work for insurance that stealing already
+        # provides (A/B knob: COMPRESSJS_TPU_TAIL_GUARD)
+        self.tail_guard = int(os.environ.get('COMPRESSJS_TPU_TAIL_GUARD',
+                                             '1'))
         self.min_queue = min_queue_factor * self.host_workers
         # EWMA service times (seconds/block); None until observed
         self.t_host = None
@@ -150,8 +158,9 @@ class _Scheduler:
                 # last device block overruns slightly, an idle host
                 # steals it for one duplicated ~0.1 s block instead of
                 # the device idling a ~1.4 s runway every file tail
-                if self.t_dev is None or \
-                        max(self.safety * self.t_dev, lat) > drain:
+                bound = self.safety * self.t_dev if self.tail_guard == 0 \
+                    else max(self.safety * self.t_dev, lat)
+                if self.t_dev is None or bound > drain:
                     self.stats['dev_claims_denied'] += 1
                     return None
             # unclaimable tails sit at the BACK (file end) — skip past
