@@ -628,19 +628,45 @@ def sub_mesh_scaling():
 def _emit(detail, het_t, t_host, mb):
     """Print a complete headline JSON snapshot (flushed).  Called after
     every sub-mode: the LAST printed line is always the most complete,
-    so an external kill still leaves a parseable artifact tail."""
+    so an external kill still leaves a parseable artifact tail.
+
+    Kept COMPACT on purpose: the driver records only the tail of
+    stdout, and a final line longer than its window would truncate at
+    the front and parse to nothing (the round-3 empty-artifact failure
+    through a different door).  Diagnostic sub-dicts are flattened and
+    ok-statuses elided; the full per-section lines are already on
+    stdout above."""
     best = mb / t_host
     pipeline = 'host pipeline'
     if het_t and mb / het_t > best:
         best = mb / het_t
         pipeline = 'hetero host+TPU pipeline'
+    d = {}
+    for k, v in detail.items():
+        if k == 'sections':
+            bad = {n: s['status'] for n, s in v.items()
+                   if s.get('status') != 'ok'}
+            d['sections_ok'] = len(v) - len(bad)
+            if bad:
+                d['sections_bad'] = bad
+        elif k == 'submodes':
+            d[k] = {n: (s['status'] if s.get('status') != 'ok'
+                        else 'ok@%ds' % s.get('wall_s', 0))
+                    for n, s in v.items()}
+        elif k == 'baseline':
+            d[k] = 'ref bzip2 -9 enwik8 0.0936 MB/s (BASELINE.md)'
+        elif k == 'device_compute_only' and isinstance(v, dict):
+            d[k] = {kk: vv for kk, vv in v.items()
+                    if kk != 'vmap_b8_note'}
+        else:
+            d[k] = v
     print(json.dumps({
         'metric': 'bzip2 -9 encode throughput (100MB corpus, %s)'
                   % pipeline,
         'value': round(best, 4),
         'unit': 'MB/s',
         'vs_baseline': round(best / BASELINE_ENWIK8_RATE, 2),
-        'detail': detail,
+        'detail': d,
     }), flush=True)
 
 
