@@ -141,7 +141,7 @@ def test_decode_kernel_throughput(block900):
 
 def _direct_mbs(f, arg, n, K=4):
     """Direct-dispatch rate of an already-jitted program with its input
-    resident on device — the method BENCH_r04 records (the fori-chained
+    resident on device — the method the round-4 bench records (the fori-chained
     wrapper would be a second 100 s-class compile of a program the
     production path never runs)."""
     import time
@@ -161,7 +161,7 @@ def _direct_mbs(f, arg, n, K=4):
 
 def test_full_block_decode_throughput(block900):
     """Round-4 floor for the all-device block decode (VERDICT r3 item
-    6): BENCH_r04 records full_block_decode 0.90 MB/s (gather-walk
+    6): round-4 runs record full_block_decode 0.90-1.43 MB/s (gather-walk
     default, direct dispatch); floor at 80%."""
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.ops import device_huffman as dh
@@ -195,7 +195,7 @@ def test_full_block_decode_throughput(block900):
 
 def test_bwtcl_device_throughput(block900):
     """Round-4 floors for the BWTC-L lane pipeline (VERDICT r3 item 6):
-    BENCH_r04 records 0.30 / 0.23 MB/s encode/decode e2e on sample5;
+    round-4 runs record 0.30 / 0.23 MB/s encode/decode e2e on sample5;
     floors at ~80%."""
     import time
     from compressjs_tpu.parallel.pipeline import bwtcl_compress_device, \
