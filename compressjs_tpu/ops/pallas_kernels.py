@@ -12,12 +12,15 @@ overhead every step; this kernel exists to close that gap.
 Falls back to interpret mode off-TPU so the CPU test mesh exercises the
 same code path.
 
-Status note (v5e, axon): the fused kernel is element-exact against the
-host MTF but currently measures ~3x slower than the XLA scan build for
-this op (the scan's per-step overhead turned out smaller than Mosaic's
-table-pass codegen cost here), so `ops.jax_kernels.mtf_encode` remains
-the production path; this kernel is kept as the pallas build of the same
-algorithm and the starting point for further Mosaic tuning.
+Status (v5e, axon, round 4): this kernel IS the production MTF on TPU —
+`parallel/pipeline.py` selects ``mtf_impl='pallas'`` whenever the default
+backend is a TPU, and `tests/test_perf_regression.py` floors it at
+30 MB/s against a measured 37.7 MB/s (512-symbol chunks), vs 28.4 MB/s
+for the XLA `lax.scan` build of the same algorithm
+(`ops.jax_kernels.mtf_encode`, which stays the off-TPU/fallback path).
+An earlier revision of this kernel measured ~3x slower than the scan;
+the current shape (table rides the lane dimension, three VPU passes per
+step) is what closed that gap.
 """
 
 from __future__ import annotations

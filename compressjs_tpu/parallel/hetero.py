@@ -38,6 +38,7 @@ devices.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from collections import deque
@@ -79,8 +80,10 @@ class _Scheduler:
         # an otherwise-IDLE host, so refusing the last ~lat*rate blocks
         # trades real device work for insurance that stealing already
         # provides (A/B knob: COMPRESSJS_TPU_TAIL_GUARD)
-        self.tail_guard = int(os.environ.get('COMPRESSJS_TPU_TAIL_GUARD',
-                                             '1'))
+        # (string compare, not int(): a malformed value must not crash
+        # compression at scheduler init over a tuning knob)
+        self.tail_guard = 0 if os.environ.get(
+            'COMPRESSJS_TPU_TAIL_GUARD') == '0' else 1
         self.min_queue = min_queue_factor * self.host_workers
         # EWMA service times (seconds/block); None until observed
         self.t_host = None
@@ -366,7 +369,11 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
     _nice_spread = int(os.environ.get('COMPRESSJS_TPU_NICE', '2'))
 
     def _renice(delta):
-        if not _nice_spread or delta == 0:
+        # Linux-only: setpriority(PRIO_PROCESS, 0) is per-THREAD there
+        # (the assumption the comment above relies on); on other POSIX
+        # platforms it renices the whole interpreter, cumulatively and
+        # irreversibly for an unprivileged process.
+        if not _nice_spread or delta == 0 or sys.platform != 'linux':
             return
         try:
             os.setpriority(os.PRIO_PROCESS, 0,
@@ -375,8 +382,11 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
             pass
 
     def host_worker():
-        _renice(_nice_spread)
+        # everything — including the renice preamble — inside the try:
+        # an exception that escapes before the loop would kill the
+        # thread without notifying the assembly loop, hanging the call
         try:
+            _renice(_nice_spread)
             while True:
                 i, was_steal = sched.pop_host()
                 if i is None:
@@ -514,7 +524,6 @@ def hetero_compress_bzip2(data, output=None, level=9, host_workers=2,
         # (it is a daemon thread)
         dev_thread.join(timeout=5.0)
     if debug:
-        import sys
         t_min = min(e[2] for e in events) if events else 0.0
         for i, src, t0, t1, fresh in sorted(events, key=lambda e: e[3]):
             print('# blk %3d %-7s claim=%7.3f done=%7.3f dt=%6.3f%s'

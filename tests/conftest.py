@@ -8,11 +8,15 @@ import sys
 #   COMPRESSJS_TPU_REAL=1 python -m pytest tests/test_perf_regression.py \
 #       -m tpu -o addopts=""
 _REAL_TPU = os.environ.get('COMPRESSJS_TPU_REAL') == '1'
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+if not _REAL_TPU:
+    # Outside axon (no sitecustomize overriding JAX_PLATFORMS) these env
+    # knobs are what actually pins the platform, so the opt-out must
+    # skip them too, not just the jax.config update below.
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
