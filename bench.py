@@ -210,25 +210,45 @@ def _make_chain_timer(K=10):
         return min(ts) / K, compile_s
     return chain_time
 
-def sec_hetero():
-    """Hetero (host+device) encode of the 100 MB corpus.  Callers warm
-    the device first (sec_warm); best-of-2 like the host pipeline.
+HETERO_PAIRS = int(os.environ.get('BENCH_HETERO_PAIRS', '3'))
 
-    Also times a host-only encode IMMEDIATELY adjacent: the shared
-    2-core host swings +-10% across a bench run, which is larger than
-    the chip's contribution, so only a paired same-moment comparison
-    says whether hetero added throughput (t_host_adjacent)."""
+
+def sec_hetero():
+    """Hetero (host+device) encode of the 100 MB corpus, measured as
+    INTERLEAVED A/B pairs (host, hetero, host, hetero, ...) with the
+    per-pair delta recorded (VERDICT r4 #1).  Callers warm the device
+    first (sec_warm).
+
+    Why pairs: the shared 2-core host swings +-10% across a bench run
+    — larger than any plausible chip contribution — so a single
+    comparison cannot attribute a few-percent delta.  Each pair is
+    same-moment; the MEDIAN per-pair delta is the recorded verdict on
+    whether the chip adds throughput, and README/ARCHITECTURE claims
+    track it and nothing else."""
     corpus = build_corpus()
+    mb = len(corpus) / 1e6
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.parallel.hetero import hetero_compress_bzip2
-    t_host_adj, _ = _timed(
-        lambda: bytes(bzip2.compress_file(corpus, None, 9)), reps=2)
-    t, comp = _timed(lambda: bytes(hetero_compress_bzip2(corpus, None,
-                                                         9)), reps=2)
+    pairs = []
+    comp = None
+    for _ in range(HETERO_PAIRS):
+        t_h, _ = _timed(
+            lambda: bytes(bzip2.compress_file(corpus, None, 9)))
+        t_x, comp = _timed(
+            lambda: bytes(hetero_compress_bzip2(corpus, None, 9)))
+        pairs.append((t_h, t_x))
     out = bytes(bzip2.decompress_file(comp))
     assert out == corpus.tobytes(), 'hetero roundtrip failed'
-    return {'t': t, 'size': len(comp),
-            't_host_adjacent': t_host_adj,
+    deltas = sorted(mb / t_x - mb / t_h for t_h, t_x in pairs)
+    med = deltas[len(deltas) // 2] if len(deltas) % 2 else \
+        (deltas[len(deltas) // 2 - 1] + deltas[len(deltas) // 2]) / 2
+    return {'t': min(t_x for _, t_x in pairs), 'size': len(comp),
+            't_host_adjacent': min(t_h for t_h, _ in pairs),
+            'paired': {
+                'pairs_mb_s': [[round(mb / t_h, 2), round(mb / t_x, 2)]
+                               for t_h, t_x in pairs],
+                'deltas_mb_s': [round(d, 2) for d in deltas],
+                'median_delta_mb_s': round(med, 2)},
             'stats': hetero_compress_bzip2.last_stats}
 
 
@@ -419,8 +439,10 @@ def sec_device_decode():
     s2b_arr[:len(s2b)] = s2b
     payload = jax.device_put(jnp.asarray(comp[byte0:]))
     sel = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
-    caps = ((comp.shape[0] - byte0) * 8, len(selectors), len(groups),
-            900000 + 8, 1000000)
+    # bit cap rounded to the Pallas compose tile (16384) so this times
+    # the same composition build the production pow2-cap path runs
+    caps = (-(-(comp.shape[0] - byte0) * 8 // 16384) * 16384,
+            len(selectors), len(groups), 900000 + 8, 1000000)
     timed = _direct_timer()
 
     out = {'compile_s': {}}
@@ -434,16 +456,143 @@ def sec_device_decode():
     return out
 
 
+def sec_roofline():
+    """Per-stage roofline table (VERDICT r4 #7), inside the artifact.
+
+    Every stage input is computed on the HOST (native pipeline) and
+    uploaded, so the only device cost per stage is its own jit compile
+    + the timed direct dispatches — no fused prep program.  Stages are
+    budget-gated individually: whatever fit is reported, with the rest
+    marked skipped."""
+    import jax
+    import jax.numpy as jnp
+    from compressjs_tpu.codecs import bzip2
+    from compressjs_tpu.ops import bwt as bwt_ops
+    from compressjs_tpu.ops import device_entropy as de
+    from compressjs_tpu.ops import device_huffman as dh
+    from compressjs_tpu.ops import jax_kernels as jk
+    from compressjs_tpu.ops import mtf as mtf_ops
+    from compressjs_tpu.ops import rle as rle_ops
+    from compressjs_tpu.parallel import profiling as prof
+
+    t_sec0 = time.time()
+    budget = float(os.environ.get('BENCH_ROOFLINE_BUDGET_S', 240))
+    data = np.fromfile(os.path.join(SAMPLES, 'sample5.ref'),
+                       dtype=np.uint8)
+    block, _ = rle_ops.rle1_encode(data, 0, 9 * 100000 - 19)
+    n = block.shape[0]
+
+    # host-side stage inputs (native pipeline, ~0.1 s total)
+    U = np.zeros(n, dtype=np.uint8)
+    pidx = bwt_ops.bwtransform2(block, U, n, 256)
+    alphabet = np.unique(block)
+    remap = np.zeros(256, dtype=np.int32)
+    remap[alphabet] = np.arange(alphabet.shape[0])
+    dense = remap[U]
+    eob = alphabet.shape[0] + 1
+    mtf_seq = mtf_ops.mtf_encode(U, alphabet)
+    syms_host = rle_ops.mtf_rle2_encode(mtf_seq, eob)
+    syms_pad = np.full(n + 1, eob, dtype=np.int16)
+    syms_pad[:len(syms_host)] = syms_host
+    count = jnp.int32(len(syms_host))
+    freq = jnp.asarray(np.bincount(syms_host, minlength=260)
+                       .astype(np.int32))
+    n_chunks = -(-(n + 1) // de.GROUP_SIZE)
+    timed = _direct_timer()
+
+    out = {}
+
+    def stage(name, fn, arg):
+        left = budget - (time.time() - t_sec0)
+        if left < 25:
+            out[name] = {'skipped': 'budget (%.0fs left)' % left}
+            return None
+        t, cs = timed(fn, arg)
+        out[name] = prof.roofline(name, n, t)
+        out[name]['compile_s'] = round(cs, 1)
+        return t
+
+    dblock = jax.device_put(jnp.asarray(block))
+    ddense = jax.device_put(jnp.asarray(dense.astype(np.int32)))
+    dmtf = jax.device_put(jnp.asarray(mtf_seq.astype(np.int32)))
+    dsyms = jax.device_put(jnp.asarray(syms_pad))
+
+    stage('sort', lambda b: jk.cyclic_suffix_sort(b, n), dblock)
+    stage('mtf', lambda d: jk.mtf_encode(d, n, 512, 256), ddense)
+    stage('rle2', lambda s: jk.rle2_encode(s, n, jnp.int32(eob))[0],
+          dmtf)
+    stage('groups', lambda s: de.optimize_groups_dev(
+        s, count, n_chunks, freq, eob + 1, 'xla')[0], dsyms)
+    # pack needs the groups outputs once (not timed)
+    try:
+        lens, g, sel, codes = de.optimize_groups_dev(
+            dsyms, count, n_chunks, freq, eob + 1, 'xla')
+        stage('pack', lambda s: de.payload_pack_words_dev(
+            s, count, sel, lens, codes, de.payload_cap_bytes(n))[0],
+            dsyms)
+    except Exception as e:
+        out['pack'] = {'error': str(e)[-120:]}
+
+    # decode stages on the real compressed block (exact caps, the same
+    # shapes sec_device_decode times end-to-end)
+    comp = np.frombuffer(bytes(bzip2.compress_file(data, None, 9)),
+                         np.uint8)
+    r = bzip2._BitReader(comp)
+    r.read_bits(32)
+    assert r.read_bits(48) == bzip2.WHOLEPI
+    r.read_bits(32)
+    optr, s2b, selectors, groups = bzip2._parse_block_header(r, 900000)
+    byte0, bit0 = r.pos >> 3, r.pos & 7
+    limits, bases, perms, mins = dh.tables_for_device(groups,
+                                                      len(groups))
+    payload = jax.device_put(jnp.asarray(comp[byte0:]))
+    # cap rounded to the Pallas compose tile (16384 bits) so the walk
+    # here runs the same build the production pow2-cap path uses;
+    # positions past the real payload read BitStream-style zero fill
+    nbits_cap = -(-(comp.shape[0] - byte0) * 8 // 16384) * 16384
+    s_cap = len(selectors)
+    selv = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
+    dbuf_cap = 900000 + 8
+
+    stage('walk', lambda p: dh.huffman_walk_dev(
+        p, bit0, nbits_cap, s_cap, len(groups), limits, bases, perms,
+        mins, selv, jnp.int32(s_cap), jnp.int32(len(s2b) + 1))[0],
+        payload)
+    # host-truth symbol stream feeds the undo stages (identical to the
+    # walk's output for a valid stream)
+    wsyms_host = np.full(s_cap * 50, len(s2b) + 1, dtype=np.int32)
+    wsyms_host[:len(syms_host)] = syms_host
+    dwsyms = jax.device_put(jnp.asarray(wsyms_host))
+    wcount = jnp.int32(len(syms_host) - 1)  # EOB index
+    stage('rle2_undo', lambda s: jk.rle2_decode(s, dbuf_cap, wcount)[0],
+          dwsyms)
+    # the RLE2-undone index stream IS the MTF index sequence
+    didx = jax.device_put(jnp.asarray(mtf_seq.astype(np.int32)))
+    stage('mtf_undo', lambda i: jk.mtf_decode(i, dbuf_cap), didx)
+    total = jnp.int32(n)
+    dU = jax.device_put(jnp.asarray(np.pad(U, (0, dbuf_cap - n))))
+    stage('ibwt', lambda u: jk.inverse_bwt_block_masked(
+        u, dbuf_cap, total, jnp.minimum(jnp.int32(pidx), total - 1)),
+        dU)
+    # RLE1 undo consumes the pre-RLE1 block bytes (the ibwt output)
+    dpacked = jax.device_put(jnp.asarray(np.pad(block,
+                                                (0, dbuf_cap - n))))
+    stage('rle1_undo', lambda p: jk.rle1_decode_dev(p, 1000000,
+                                                    total)[0], dpacked)
+    return out
+
+
 SUITE_SECTIONS = [
     # (name, fn, min_seconds_remaining_to_start)
     ('warm', sec_warm, 500),
-    ('hetero', sec_hetero, 80),
+    ('hetero', sec_hetero, 140),
     ('sample5_device', sec_sample5_device, 40),
     ('device_compute', sec_device_compute, 60),
     ('device_decode', sec_device_decode, 120),
     ('bwtcl_device', sec_bwtcl_device, 180),
     ('sample5_hybrid', sec_sample5_hybrid, 60),
     ('bwtcp_device', sec_bwtcp_device, 60),
+    ('roofline', sec_roofline, 120),
 ]
 
 
@@ -454,12 +603,21 @@ def sub_device_suite():
     the sections share compiled programs (sec_warm's encode_block_full
     is the same executable hetero, sample5_device and device_compute
     dispatch).  One JSON line per completed section (flushed) — the
-    parent merges every line it got even if it must kill us."""
+    parent merges every line it got even if it must kill us.
+
+    --handshake (round 5): after the warm section, block on stdin for a
+    'go <budget>' line.  The parent spawns this suite FIRST and runs
+    its host-only sections while our warm compile proceeds — the warm
+    wait is a server-side RPC, so the local cores are free and the
+    200-600 s compile overlaps the ~60-90 s of host benching instead of
+    serializing after it.  The post-warm budget clock starts at 'go',
+    so handshake wait never eats section budget."""
     _enable_compile_cache()
     budget = 600.0
     for a in sys.argv[1:]:
         if a.startswith('--suite-budget='):
             budget = float(a.split('=', 1)[1])
+    handshake = '--handshake' in sys.argv
     t0 = time.time()
     for name, fn, need in SUITE_SECTIONS:
         left = budget - (time.time() - t0)
@@ -475,6 +633,12 @@ def sub_device_suite():
         out['section'] = name
         out['at_s'] = round(time.time() - t0, 1)
         print(json.dumps(out), flush=True)
+        if handshake and name == 'warm':
+            line = sys.stdin.readline().split()
+            if len(line) == 2 and line[0] == 'go':
+                budget = float(line[1])
+            t0 = time.time()  # post-warm sections get the fresh budget
+            handshake = False
 
 
 def sub_device_roofline():
@@ -670,11 +834,67 @@ def _emit(detail, het_t, t_host, mb):
     }), flush=True)
 
 
+def _spawn_suite_overlapped(submodes):
+    """Start the device suite early (its warm section is a server-side
+    XLA compile the local cores don't participate in) and return a
+    collector: collect(budget) sends 'go <budget>', waits for the suite
+    under a deadline, and returns every JSON line it printed (partial
+    results salvaged on a kill)."""
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--device-suite',
+         '--handshake', '--suite-budget=%d' % TOTAL_BUDGET_S],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True)
+    lines = []
+
+    def _reader():
+        for line in proc.stdout:
+            lines.append(line)
+    import threading
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
+
+    def collect(budget):
+        status = 'ok'
+        try:
+            proc.stdin.write('go %d\n' % budget)
+            proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            status = 'failed: suite died before go'
+        deadline = time.time() + budget + 60
+        while proc.poll() is None and time.time() < deadline:
+            time.sleep(1.0)
+        if proc.poll() is None:
+            status = 'timeout@%ds' % int(budget + 60)
+            proc.kill()
+            print('# device-suite timed out', file=sys.stderr)
+        reader.join(timeout=10)
+        parsed = []
+        for line in lines:
+            if line.startswith('{'):
+                try:
+                    parsed.append(json.loads(line))
+                except ValueError:
+                    pass
+        if not parsed and status == 'ok':
+            status = 'failed: no output'
+        submodes['device-suite'] = {
+            'status': status, 'wall_s': round(time.time() - t0, 1)}
+        return parsed
+    return collect
+
+
 def main():
     detail = {'budget_s': TOTAL_BUDGET_S}
     submodes = detail['submodes'] = {}
     corpus = build_corpus()
     mb = len(corpus) / 1e6
+
+    # spawn the device suite BEFORE the host sections: its first act is
+    # the 200-600 s server-side warm compile, which overlaps the host
+    # corpus bench below (VERDICT r4 #4); it then blocks until 'go'
+    suite_collect = _spawn_suite_overlapped(submodes)
 
     t_host, t_dec, size_host = bench_corpus_host(corpus)
     detail['corpus_host_encode_mb_s'] = round(mb / t_host, 2)
@@ -697,6 +917,8 @@ def main():
         if het.get('t_host_adjacent'):
             detail['corpus_host_encode_adjacent_mb_s'] = round(
                 mb / het['t_host_adjacent'], 2)
+        if het.get('paired'):
+            detail['hetero_paired'] = het['paired']
         detail['hetero_stats'] = het.get('stats')
         assert het['size'] == size_host  # byte-identical pipelines
 
@@ -729,13 +951,11 @@ def main():
             'bwtcp_device_encode_mb_s', round(2.13064 / o['t'], 2)),
     }
 
-    # one subprocess for every single-chip TPU section (shared compiled
-    # programs; per-section JSON lines salvaged even on timeout), then
-    # the CPU-mesh validation in its own (cpu-platform) subprocess
+    # release the (already-spawned, already-warming) device suite and
+    # collect its per-section JSON lines (salvaged even on timeout),
+    # then the CPU-mesh validation in its own (cpu-platform) subprocess
     suite_budget = max(0, _remaining() - 150)
-    lines = _run_sub(['--device-suite',
-                      '--suite-budget=%d' % suite_budget],
-                     suite_budget + 60, submodes, all_lines=True)
+    lines = suite_collect(suite_budget)
     sections = detail['sections'] = {}
     for o in lines or []:
         name = o.get('section')

@@ -60,13 +60,24 @@ def payload_words(payload_bytes, n_words):
 
 def _window_vals(words, bit0, nbits):
     """val[p] = the MAX_CODE_BITS bits starting at bit ``bit0 + p`` of
-    the word array, as the high bits of a right-aligned int32."""
-    p = jnp.arange(nbits, dtype=jnp.int32) + bit0
-    wi = p >> 5
-    sh = (p & 31).astype(jnp.uint32)
+    the word array, as the high bits of a right-aligned int32.
+
+    words[p >> 5] is each word repeated 32 times consecutively, so the
+    expansion is a broadcast-reshape (`jnp.repeat`) + slice — pure HBM
+    bandwidth — NOT a random gather.  The gather formulation measured
+    ~76 ms at cap=4.19M on the v5e (two cap-wide gathers at the chip's
+    ~0.11 G/s issue rate) vs ~1 ms for this build."""
     nw = words.shape[0]
-    left = jnp.where(wi < nw, words[jnp.clip(wi, 0, nw - 1)], 0)
-    right = jnp.where(wi + 1 < nw, words[jnp.clip(wi + 1, 0, nw - 1)], 0)
+    p = jnp.arange(nbits, dtype=jnp.int32) + bit0
+    sh = (p & 31).astype(jnp.uint32)
+    # repeat + dynamic slice [bit0, bit0+nbits) (bit0 is traced; it is
+    # < 8 so one word of headroom suffices; words is already padded
+    # past the payload)
+    bit0 = jnp.asarray(bit0, jnp.int32)
+    left = lax.dynamic_slice(jnp.repeat(words, 32), (bit0,), (nbits,))
+    words_r = jnp.concatenate([words[1:], jnp.zeros(1, words.dtype)])
+    right = lax.dynamic_slice(jnp.repeat(words_r, 32), (bit0,),
+                              (nbits,))
     lo = jnp.where(sh > 0, right >> ((32 - sh) & 31), 0)
     return (((left << sh) | lo) >> (32 - MAX_CODE_BITS)).astype(jnp.int32)
 
@@ -140,47 +151,68 @@ def _compose_windowed(a, b, blo, bhi, cap):
     return lax.fori_loop(blo + 1, bhi + 1, body, init)
 
 
-def _use_windowed():
-    """Composition build choice.  Round-4 measurement on the real v5e at
-    bench shapes (nbits_cap=2.18M, G=6, tools/walk_compile_probe.py):
+def _compose_build():
+    """Composition build choice (env: COMPRESSJS_TPU_COMPOSE).
 
-        windowed: 374 s one-time XLA compile, 0.4 s warm walk
-        gather:    16 s compile+first-run,    0.8 s warm walk
-
-    The windowed build's 2x runtime win is real, but its compile is what
-    timed out round 3's bench twice (>40 min with the vmapped B=8
-    variant) — a kernel that cannot compile inside a gate budget records
-    nothing.  Default is therefore the gather build everywhere; set
-    COMPRESSJS_TPU_COMPOSE=windowed to opt in when a warmed persistent
-    compile cache is guaranteed."""
+    'pallas' (default on TPU, round 5): ops/pallas_compose runs the
+    windowed sweep inside VMEM — measured 7.7 ms per [2,40] level at
+    bench shapes (G=6, cap=2^21, tr=128) vs 114 ms for the gather
+    build, with seconds of Mosaic compile.
+    'gather' (default off-TPU): binary-powering random gathers — on
+    CPU gathers run at memory speed and this build wins.
+    'windowed': the XLA dynamic-slice sweep.  Kept as the differential
+    reference; its 374 s server-side compile at k=50 is what timed out
+    round 3's bench (ARCHITECTURE.md negative (h)) — opt-in only."""
     import os
-    return os.environ.get('COMPRESSJS_TPU_COMPOSE') == 'windowed'
+    env = os.environ.get('COMPRESSJS_TPU_COMPOSE')
+    if env in ('pallas', 'gather', 'windowed'):
+        return env
+    try:
+        on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return 'pallas' if on_tpu else 'gather'
 
 
 def _power_k(nxt, cap, k):
     """nxt composed k times (k in {1,2,5,10,25,50} or a power of 2
     dividing 50) via windowed compositions: squaring ladder plus
-    minimal-inner-window combines.  Sweep counts: k=2 -> 20, 5 -> 79,
-    10 -> 175, 25 -> 462, 50 -> 938.  Bandwidth-bound, vs random
-    gathers for the gather build (~2.2x faster at k=50 on v5e; smaller
-    k trades composition traffic for a longer — but lane-shared —
-    selector chase, the right trade for batched decode."""
+    minimal-inner-window combines (window of nxt^j is [j, 20j] — code
+    lengths are 1..20 bits).  The sweep itself runs as the Pallas VMEM
+    kernel on TPU, the XLA dynamic-slice build on request, or random
+    gathers off-TPU (see _compose_build)."""
     if k == 1:
         return nxt
-    if not _use_windowed():
+    build = _compose_build()
+    if build == 'gather':
         return _power_k_gather(nxt, cap, k)
+    if build == 'pallas':
+        # tile must divide cap and exceed the widest window (20k);
+        # production caps are pow2 >= 4096 so this always holds there,
+        # but tests drive the walk at exact tiny caps — fall back to
+        # the gather build for shapes the kernel can't tile
+        tr = min(128, cap // 128)
+        if tr == 0 or cap % (tr * 128) != 0 or 20 * k >= tr * 128:
+            return _power_k_gather(nxt, cap, k)
+        from .pallas_compose import compose_windowed
+
+        def compose(a, b, blo, bhi):
+            return compose_windowed(a, b, blo, bhi, tr)
+    else:
+        def compose(a, b, blo, bhi):
+            return _compose_windowed(a, b, blo, bhi, cap)
     p = {1: nxt}
     kk = 1
     while 2 * kk <= k:
-        p[2 * kk] = _compose_windowed(p[kk], p[kk], kk, 20 * kk, cap)
+        p[2 * kk] = compose(p[kk], p[kk], kk, 20 * kk)
         kk *= 2
     # combine remaining bits, smallest power innermost-last so every
     # compose keeps the smallest possible inner window
     out, need = None, k
     for kk in sorted(p, reverse=True):
         if kk <= need:
-            out = p[kk] if out is None else _compose_windowed(
-                out, p[kk], kk, 20 * kk, cap)
+            out = p[kk] if out is None else compose(out, p[kk], kk,
+                                                    20 * kk)
             need -= kk
     assert need == 0, k
     return out
@@ -190,14 +222,22 @@ def _power50(nxt, cap):
     return _power_k(nxt, cap, GROUP_SIZE)
 
 
-# Default composition power: round-4 sweep on the real v5e (gather
-# build, sample5 shapes, warm): k=50 798 ms, 25 709, 10 529, 5 487,
-# **2 433**, 1 563 — the chase steps a smaller k adds are cheaper than
-# the composition gathers it removes until k=2, where the ~13 M
-# remaining gathers balance the 147 K-step chase.  All variants
-# compile in 14-25 s (the k=50 windowed build's 374-481 s compile is
-# what round 3 died on).
-POWER_K_DEFAULT = 2
+# Default composition power.  Round-5 sweep on the real v5e with the
+# Pallas VMEM compose, PRODUCTION shapes (cap=2^22, s_cap=8192,
+# tools/walk_tune_r5.py): k=2 481 ms, 5 287, **10 233**, 25 258,
+# 50 347 — the VMEM sweep makes composition cheap enough that k=10
+# (4 compose levels, 5 chase sub-steps/selector) beats round 4's
+# gather-built k=2 (693 ms at the same shapes) by 3x.  All variants
+# compile in 16-28 s.  (Round-4 gather-build sweep, 2.18M exact cap:
+# k=2 433 ms was the then-optimum; the 374-481 s XLA windowed compile
+# that killed round 3 is retired by the Pallas build.)
+POWER_K_DEFAULT = 10
+
+# Chase-scan body width: each lax.scan step runs this many dependent
+# scalar gathers unrolled.  Round-5 sweep: 32/64/128 all measure the
+# same walk time (the chase is bound by the ~1.4 us dependent-gather
+# latency chain, not scan-step dispatch), so keep the smallest.
+CHASE_UNROLL = 32
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 12))
@@ -242,7 +282,6 @@ def huffman_walk_dev(payload_bytes, bit0, nbits_cap, s_cap, n_groups,
     sel_arr = selectors[:s_cap].astype(jnp.int32)
     sel_sub = jnp.repeat(sel_arr, sub) if sub > 1 else sel_arr
     n_steps = s_cap * sub
-    CHASE_UNROLL = 32
     pad_s = -n_steps % CHASE_UNROLL
     sel_padded = jnp.concatenate(
         [sel_sub, jnp.zeros(pad_s, jnp.int32)]) if pad_s else sel_sub

@@ -242,19 +242,53 @@ def _lf_mapping(U32, n):
     return lf
 
 
-def _orbit_from_dev(f, t0, n):
-    """[t0, f(t0), ..., f^{n-1}(t0)] by doubling: ceil(log2 n) gather
-    rounds, each O(n) parallel work — the TPU form of the sequential
-    LF-chain walk (static n, so the concat shapes unroll at trace
-    time)."""
+# Round-5 sweep on the real v5e (900 KB block, cap=2^20,
+# tools/walk_tune_r5.py ibwt): m=1024 158.5 ms, 4096 171.9, 16384
+# 186.3, full doubling 226.1 — composition gathers dominate, so the
+# smallest cursor set that keeps the chase scan short wins.
+ORBIT_CURSORS = 1024
+
+
+def _orbit_from_dev(f, t0, n, m=None):
+    """[t0, f(t0), ..., f^{n-1}(t0)] — the TPU form of the sequential
+    LF-chain walk (Bzip2.js:405-439), in two phases:
+
+    1. doubling to m cursors: seq doubles via g = f^(2^r) composition
+       rounds (each one full n-gather) until it holds the first m orbit
+       elements — log2(m) compositions instead of the log2(n) a full
+       orbit doubling pays;
+    2. m-cursor chase: one more squaring gives g = f^m, then a
+       ceil(n/m)-step `lax.scan` advances all m cursors at once — O(n)
+       total gather ELEMENTS (each step one m-wide gather), the
+       k-cursor sampled-entry-point walk of SURVEY §5 with the entry
+       points produced by phase 1 rather than stored in the format.
+
+    Measured v5e (900 KB block): full doubling 163 ms; m=4096 two-phase
+    ~105 ms — composition gathers dominate either way (~8 ms per full
+    n-gather at the chip's ~0.11 G/s random-gather issue rate), the
+    chase's n/m scan steps cost ~45 us each.  Static n and m, so all
+    shapes fix at trace time."""
+    if m is None:
+        m = ORBIT_CURSORS
+    mm = min(m, n)
     seq = jnp.array([t0], dtype=jnp.int32)
     g = f
-    while seq.shape[0] < n:
-        take = min(seq.shape[0], n - seq.shape[0])
+    while seq.shape[0] < mm:
+        take = min(seq.shape[0], mm - seq.shape[0])
         seq = jnp.concatenate([seq, g[seq[:take]]])
-        if seq.shape[0] < n:
+        if seq.shape[0] < mm:
             g = g[g]
-    return seq
+    if mm >= n:
+        return seq[:n]
+    g = g[g]  # f^(mm/2) -> f^mm
+    steps = -(-n // mm) - 1
+
+    def step(frontier, _):
+        nxt = g[frontier]
+        return nxt, nxt
+
+    _, rows = lax.scan(step, seq, None, length=steps)
+    return jnp.concatenate([seq, rows.reshape(-1)])[:n]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -108,16 +108,21 @@ STAGE_MODELS = {
     # 20 bit-candidates per symbol expanded, scattered, packed 8:1
     'pack': dict(bytes=lambda n: 20 * n * 2 + 8 * n,
                  gathers=lambda n: 0),
-    # decode: 50th-power next-map composition, 7 binary-powering levels
-    # over (G=6, nbits~2.44n) int32 maps — pure random gathers
-    'walk': dict(bytes=lambda n: 0,
-                 gathers=lambda n: 7 * 6 * int(2.44 * n)),
+    # decode walk, round-5 Pallas build (POWER_K=10): next-map build
+    # (20 length-compare passes over (G=6, ~2.44n) windows) + 4 VMEM
+    # windowed compose levels x 3 HBM passes each — the VPU select
+    # sweep inside VMEM is the real cost and is NOT HBM traffic, so
+    # pct_of_bound here reads as "distance above pure-traffic floor";
+    # the chase's 5*(n/50/50-ish) scalar gathers are negligible
+    'walk': dict(bytes=lambda n: (20 + 4 * 3) * 4 * 6 * int(2.44 * n),
+                 gathers=lambda n: 0),
     'rle2_undo': dict(bytes=lambda n: 8 * 2 * 4 * n,
                       gathers=lambda n: 0),
     'mtf_undo': dict(bytes=lambda n: 512 * 2 * (-(-n // 512) * 256) +
                      8 * n, gathers=lambda n: 0),
-    # orbit doubling: ~log2(n) rounds of n-element permutation gathers
-    'ibwt': dict(bytes=lambda n: 0, gathers=lambda n: 20 * n),
+    # round-5 two-phase orbit (m=4096 cursors): log2(m)+1 composition
+    # rounds of n-element permutation gathers + n chase-gather elements
+    'ibwt': dict(bytes=lambda n: 0, gathers=lambda n: 14 * n),
     'rle1_undo': dict(bytes=lambda n: 12 * 2 * 4 * n,
                       gathers=lambda n: 0),
 }
