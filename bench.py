@@ -834,16 +834,17 @@ def _emit(detail, het_t, t_host, mb):
     }), flush=True)
 
 
-def _spawn_suite_overlapped(submodes):
+def _spawn_suite_overlapped(submodes, exe=None):
     """Start the device suite early (its warm section is a server-side
     XLA compile the local cores don't participate in) and return a
     collector: collect(budget) sends 'go <budget>', waits for the suite
     under a deadline, and returns every JSON line it printed (partial
-    results salvaged on a kill)."""
+    results salvaged on a kill).  `exe` overrides the child (tests)."""
     t0 = time.time()
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), '--device-suite',
-         '--handshake', '--suite-budget=%d' % TOTAL_BUDGET_S],
+        exe or [sys.executable, os.path.abspath(__file__),
+                '--device-suite', '--handshake',
+                '--suite-budget=%d' % TOTAL_BUDGET_S],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True)
     lines = []
@@ -977,6 +978,17 @@ def main():
                     min(300, max(60, _remaining() - 30)), submodes)
     if mesh:
         detail['cpu_mesh_validation'] = mesh
+    # the 8 MB O(n/d) CP sharded sort costs ~20 min on the 2-core CPU
+    # mesh — far beyond this budget — so it runs once per round
+    # out-of-band (tools/cpsort_spot.py, hard timeout) and its recorded
+    # wall time rides along here so the round-3 regression mode (gate
+    # killed by CP sort growth) stays visible in the artifact
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(
+                __file__)), 'tools', 'cpsort_spot.json')) as f:
+            detail['cp_sort_8mb_spot'] = json.load(f)
+    except Exception:
+        pass
     detail['total_wall_s'] = round(time.time() - _T_START, 1)
     _emit(detail, het_t, t_host, mb)
 

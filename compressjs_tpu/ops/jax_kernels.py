@@ -282,12 +282,20 @@ def _orbit_from_dev(f, t0, n, m=None):
         return seq[:n]
     g = g[g]  # f^(mm/2) -> f^mm
     steps = -(-n // mm) - 1
+    # unroll the chase body: scan-step overhead (~45 us) dominates the
+    # ~10 us m-wide dependent gather, so U gathers per step cut the
+    # step count U-fold for the same chain
+    U = 4
+    n_iter = -(-steps // U)
 
     def step(frontier, _):
-        nxt = g[frontier]
-        return nxt, nxt
+        outs = []
+        for _ in range(U):
+            frontier = g[frontier]
+            outs.append(frontier)
+        return frontier, jnp.stack(outs)
 
-    _, rows = lax.scan(step, seq, None, length=steps)
+    _, rows = lax.scan(step, seq, None, length=n_iter)
     return jnp.concatenate([seq, rows.reshape(-1)])[:n]
 
 
@@ -642,8 +650,22 @@ def mtf_decode(indices, n, chunk_len=512, width=256):
     chunk_perm, _ = lax.scan(perm_step, init, chunks.T)
 
     # exclusive composition scan: list_before_c = L0[pi_1][pi_2]...
+    # Composition out[c, i] = a[c, b[c, i]] as a batched one-hot
+    # matmul instead of take_along_axis: the row-wise gathers are
+    # issue-rate-bound on TPU (~0.11 G/s -> ~45 ms over the scan's
+    # log-levels for a 900 KB block) while the MXU eats the (m, 256,
+    # 256) one-hot contraction at full rate.  EXACT in bfloat16: the
+    # one-hot rows select a single value <= 255, and integers up to
+    # 256 are representable in bf16's 8-bit mantissa.
+    width_iota = jnp.arange(width, dtype=jnp.int32)
+
     def compose(a, b):
-        return jnp.take_along_axis(a, b.astype(jnp.int32), axis=1)
+        onehot = (b.astype(jnp.int32)[:, :, None] ==
+                  width_iota[None, None, :]).astype(jnp.bfloat16)
+        out = jnp.einsum('mij,mj->mi', onehot,
+                         a.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.uint8)
 
     inclusive = lax.associative_scan(compose, chunk_perm, axis=0)
     start_lists = jnp.concatenate([init[:1], inclusive[:-1]], axis=0)

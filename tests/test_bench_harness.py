@@ -48,6 +48,38 @@ def test_run_sub_failure_is_diagnosable():
     assert 'boom' in submodes['fake']['status']
 
 
+def test_overlapped_suite_handshake_and_collect():
+    """The round-5 overlap protocol: the child prints its warm line,
+    blocks on stdin for 'go <budget>', then runs its sections; the
+    collector must deliver every line and record ok."""
+    child = [sys.executable, '-S', '-c',
+             'import json,sys;'
+             'print(json.dumps({"section": "warm"}), flush=True);'
+             'line = sys.stdin.readline().split();'
+             'assert line[0] == "go" and float(line[1]) > 0, line;'
+             'print(json.dumps({"section": "hetero"}), flush=True)']
+    submodes = {}
+    collect = bench._spawn_suite_overlapped(submodes, exe=child)
+    out = collect(30)
+    assert out == [{'section': 'warm'}, {'section': 'hetero'}]
+    assert submodes['device-suite']['status'] == 'ok'
+
+
+def test_overlapped_suite_salvages_on_timeout():
+    """A child that hangs after warm must still yield the warm line,
+    with a timeout status."""
+    child = [sys.executable, '-S', '-c',
+             'import json,sys,time;'
+             'print(json.dumps({"section": "warm"}), flush=True);'
+             'sys.stdin.readline();'
+             'time.sleep(120)']
+    submodes = {}
+    collect = bench._spawn_suite_overlapped(submodes, exe=child)
+    out = collect(3)
+    assert out == [{'section': 'warm'}]
+    assert submodes['device-suite']['status'].startswith('timeout@')
+
+
 def test_emit_prints_parseable_headline(capsys):
     detail = {'k': 1}
     bench._emit(detail, None, 10.0, 100.0)     # host 10 MB/s

@@ -8,6 +8,8 @@ regression fails CI while run-to-run noise does not:
     pallas MTF (512/512) 37.7 MB/s  -> floor 30
     rle2                 119 MB/s   -> floor 50
     fused full block     5.5-6.1    -> floor 4.5
+    full block decode    5.45 (r5)  -> floor 3.0 (the VERDICT r4 bar)
+    inverse BWT          5.7  (r5)  -> floor 4.5
 
 Timing uses profiling.chain_throughput (iterations chained in one jit,
 forced fetch) — wall-clock timers around single dispatches measure the
@@ -130,7 +132,8 @@ def test_decode_kernel_throughput(block900):
         lambda u: (u + (jk.inverse_bwt_block_masked(
             u, n, jnp.int32(n), pidx)[0] % 2)).astype(jnp.uint8),
         U, n)
-    assert mbs > 4.4, ('inverse_bwt', mbs)
+    # round-5 two-phase orbit (m=1024): 158.5 ms/900 KB -> 5.7 MB/s
+    assert mbs > 4.5, ('inverse_bwt', mbs)
 
     mbs, _ = chain_throughput(
         lambda p: (p + (jk.rle1_decode_dev(p, n + n // 2,
@@ -160,9 +163,13 @@ def _direct_mbs(f, arg, n, K=4):
 
 
 def test_full_block_decode_throughput(block900):
-    """Round-4 floor for the all-device block decode (VERDICT r3 item
-    6): round-4 runs record full_block_decode 0.90-1.43 MB/s (gather-walk
-    default, direct dispatch); floor at 80%."""
+    """Round-5 floor for the all-device block decode: with the Pallas
+    windowed compose (k=10), the gather-free window build, and the
+    two-phase orbit, round-5 runs record 5.45 MB/s at production
+    shapes (tools/walk_tune_r5.py full) vs round 4's 1.44.  Floor at
+    the VERDICT r4 #2 bar (3.0) — ~55% of measured, so compile/noise
+    variance cannot flake it while a regression to the round-4 design
+    fails loudly."""
     from compressjs_tpu.codecs import bzip2
     from compressjs_tpu.ops import device_huffman as dh
     _, block = block900
@@ -183,14 +190,16 @@ def test_full_block_decode_throughput(block900):
     s2b_arr[:len(s2b)] = s2b
     payload = jax.device_put(jnp.asarray(comp[byte0:]))
     sel = jax.device_put(jnp.asarray(selectors, dtype=jnp.int32))
-    caps = ((comp.shape[0] - byte0) * 8, len(selectors), len(groups),
-            900000 + 8, 1000000)
+    # bit cap rounded to the Pallas compose tile so the production
+    # composition build runs (exact caps would fall back to gathers)
+    caps = (-(-(comp.shape[0] - byte0) * 8 // 16384) * 16384,
+            len(selectors), len(groups), 900000 + 8, 1000000)
     mbs = _direct_mbs(
         lambda p: dh.decode_block_full_dev(
             p, bit0, *caps, limits, bases, perms, mins, sel,
             jnp.int32(len(selectors)), jnp.int32(len(s2b) + 1),
             jnp.asarray(s2b_arr), jnp.int32(optr))[0], payload, n)
-    assert mbs > 0.72, ('full_block_decode', mbs)
+    assert mbs > 3.0, ('full_block_decode', mbs)
 
 
 def test_bwtcl_device_throughput(block900):
