@@ -482,16 +482,35 @@ def canonical_codes_dev(lengths, m):
 
 def chunk_hist_dev(syms, count, n_chunks):
     """(n_chunks, N) int32 histogram of each 50-symbol chunk (symbols at
-    index >= count are excluded)."""
+    index >= count are excluded).
+
+    chunk(i) = i // 50 is block-diagonal, so on TPU the histogram is a
+    compare-and-reduce over a (n_chunks, 50) reshape — a fused VPU
+    reduction — instead of a scatter-add over 900 K duplicate-heavy
+    (chunk, symbol) indices (duplicates serialize TPU scatters).  On
+    CPU the compare-reduce materializes the (n_chunks, 50, N) one-hot
+    (~1 GB at block scale) and LOSES badly, so the scatter-add build
+    stays the off-TPU path (mesh-scaling CPU validation regressed
+    3.5x before this gate)."""
     n = syms.shape[0]
     syms = syms.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < count
-    chunk = idx // GROUP_SIZE
-    hist = jnp.zeros((n_chunks, N), dtype=jnp.int32)
-    hist = hist.at[jnp.where(valid, chunk, n_chunks),
-                   jnp.where(valid, syms, 0)].add(1, mode='drop')
-    return hist
+    if jax.default_backend() != 'tpu':
+        chunk = idx // GROUP_SIZE
+        hist = jnp.zeros((n_chunks, N), dtype=jnp.int32)
+        return hist.at[jnp.where(valid, chunk, n_chunks),
+                       jnp.where(valid, syms, 0)].add(1, mode='drop')
+    s = jnp.where(valid, syms, N)   # invalid -> out of range
+    pad = n_chunks * GROUP_SIZE - n
+    if pad > 0:
+        s = jnp.concatenate([s, jnp.full(pad, N, jnp.int32)])
+    elif pad < 0:
+        s = s[:n_chunks * GROUP_SIZE]
+    s3 = s.reshape(n_chunks, GROUP_SIZE)
+    return (s3[:, :, None] ==
+            jnp.arange(N, dtype=jnp.int32)[None, None, :]) \
+        .astype(jnp.int32).sum(axis=1)
 
 
 def _costs_from_hist(hist_f, lens, active):
@@ -646,11 +665,39 @@ def payload_pack_words_dev(syms, count, selectors, lens, codes, cap_bytes):
     valid = jnp.arange(n, dtype=jnp.int32) < count
     chunk_of_sym = jnp.arange(n, dtype=jnp.int32) // GROUP_SIZE
     sel = selectors[chunk_of_sym]
-    # one packed gather: (len << 20) | code   (len <= 20, code < 2^20)
-    packed_tbl = (lens << 20) | codes                      # (G, N)
-    pv = packed_tbl[sel, syms]
-    ln = jnp.where(valid, pv >> 20, 0)
-    cd = jnp.where(valid, pv & 0xFFFFF, 0).astype(jnp.uint32)
+    if jax.default_backend() == 'tpu':
+        # Per-symbol (len, code) via one-hot MXU contraction instead
+        # of a 900 K random gather from the (G, N) tables (gathers
+        # issue at ~0.11 G/s on this chip; the matmul runs the same
+        # lookup as a (n, N) x (N, 3G) one-hot contraction).  EXACT in
+        # float32: the one-hot selects a single value per row, lengths
+        # are <= 20, and codes split into two 10-bit halves (< 2^24).
+        # Off-TPU the one-hot materializes (~1 GB) and the gather is
+        # memory-speed anyway, so CPU keeps the gather build below.
+        W = jnp.concatenate([lens.T, (codes >> 10).T,
+                             (codes & 0x3FF).T],
+                            axis=1).astype(jnp.float32)  # (N, 3G)
+        onehot = (syms[:, None] ==
+                  jnp.arange(N, dtype=jnp.int32)[None, :]).astype(
+                      jnp.float32)
+        proj = jax.lax.dot_general(onehot, W, (((1,), (0,)), ((), ())),
+                                   precision=_HIGH)      # (n, 3G)
+        proj = proj.astype(jnp.int32)
+
+        def pick(base):
+            out = proj[:, base]
+            for g in range(1, G):
+                out = jnp.where(sel == g, proj[:, base + g], out)
+            return out
+
+        ln = jnp.where(valid, pick(0), 0)
+        cd = jnp.where(valid, (pick(G) << 10) | pick(2 * G),
+                       0).astype(jnp.uint32)
+    else:
+        packed_tbl = (lens << 20) | codes                # (G, N)
+        pv = packed_tbl[sel, syms]
+        ln = jnp.where(valid, pv >> 20, 0)
+        cd = jnp.where(valid, pv & 0xFFFFF, 0).astype(jnp.uint32)
     offsets = jnp.cumsum(ln) - ln
     total = jnp.sum(ln)
     wi = (offsets >> 5).astype(jnp.int32)

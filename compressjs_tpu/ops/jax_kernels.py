@@ -650,16 +650,20 @@ def mtf_decode(indices, n, chunk_len=512, width=256):
     chunk_perm, _ = lax.scan(perm_step, init, chunks.T)
 
     # exclusive composition scan: list_before_c = L0[pi_1][pi_2]...
-    # Composition out[c, i] = a[c, b[c, i]] as a batched one-hot
-    # matmul instead of take_along_axis: the row-wise gathers are
-    # issue-rate-bound on TPU (~0.11 G/s -> ~45 ms over the scan's
+    # On TPU, composition out[c, i] = a[c, b[c, i]] runs as a batched
+    # one-hot matmul instead of take_along_axis: the row-wise gathers
+    # are issue-rate-bound (~0.11 G/s -> ~45 ms over the scan's
     # log-levels for a 900 KB block) while the MXU eats the (m, 256,
     # 256) one-hot contraction at full rate.  EXACT in bfloat16: the
     # one-hot rows select a single value <= 255, and integers up to
-    # 256 are representable in bf16's 8-bit mantissa.
+    # 256 are representable in bf16's 8-bit mantissa.  CPU keeps the
+    # gather (its one-hot would materialize ~230 MB per scan level).
     width_iota = jnp.arange(width, dtype=jnp.int32)
+    on_tpu = jax.default_backend() == 'tpu'
 
     def compose(a, b):
+        if not on_tpu:
+            return jnp.take_along_axis(a, b.astype(jnp.int32), axis=1)
         onehot = (b.astype(jnp.int32)[:, :, None] ==
                   width_iota[None, None, :]).astype(jnp.bfloat16)
         out = jnp.einsum('mij,mj->mi', onehot,
