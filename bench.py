@@ -778,7 +778,11 @@ def sub_mesh_scaling():
 
     data = build_corpus()[:8 * 900000]
     out = {}
-    for ndev in (1, 2, 8):
+    # 1 and 8 devices only: the scaling CURVE is not the point on a
+    # 2-core host (wall-clock speedup is impossible); 1d vs 8d shows the
+    # shard program compiles+executes at both extremes, and dropping the
+    # 2d point keeps the fixed work (~55 s) inside the reserved tail
+    for ndev in (1, 8):
         m = pmesh.make_mesh(jax.devices()[:ndev])
         t, comp = _timed(lambda: bytes(pmesh.mesh_compress_bzip2(
             m, data, 9)))
@@ -955,7 +959,13 @@ def main():
     # release the (already-spawned, already-warming) device suite and
     # collect its per-section JSON lines (salvaged even on timeout),
     # then the CPU-mesh validation in its own (cpu-platform) subprocess
-    suite_budget = max(0, _remaining() - 150)
+    # reserve enough tail for mesh-scaling (~55-80 s of fixed work) plus
+    # final emits: a cold-cache suite can overrun its own estimates (r05
+    # clean run: suite ok@980 s left mesh-scaling only 67 s -> timeout),
+    # and losing the suite's LAST section to the smaller budget degrades
+    # gracefully (sections are salvaged) while losing mesh-scaling
+    # drops cpu_mesh_validation from the artifact entirely
+    suite_budget = max(0, _remaining() - 240)
     lines = suite_collect(suite_budget)
     sections = detail['sections'] = {}
     for o in lines or []:
@@ -975,7 +985,7 @@ def main():
     _emit(detail, het_t, t_host, mb)
 
     mesh = _run_sub(['--mesh-scaling'],
-                    min(300, max(60, _remaining() - 30)), submodes)
+                    min(300, max(120, _remaining() - 30)), submodes)
     if mesh:
         detail['cpu_mesh_validation'] = mesh
     # the 8 MB O(n/d) CP sharded sort costs ~20 min on the 2-core CPU
