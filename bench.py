@@ -589,10 +589,15 @@ SUITE_SECTIONS = [
     ('sample5_device', sec_sample5_device, 40),
     ('device_compute', sec_device_compute, 60),
     ('device_decode', sec_device_decode, 120),
+    # roofline (the per-stage distance-from-memory-bound table, VERDICT
+    # r4 #7) outranks the bwtcl/bwtcp checkbox rates: under a cold-cache
+    # budget squeeze the tail sections are the ones to lose (r05 clean
+    # run skipped roofline at 9th; bwtcl/bwtcp negatives are already
+    # recorded in ARCHITECTURE and their rates change nothing)
+    ('roofline', sec_roofline, 120),
     ('bwtcl_device', sec_bwtcl_device, 180),
     ('sample5_hybrid', sec_sample5_hybrid, 60),
     ('bwtcp_device', sec_bwtcp_device, 60),
-    ('roofline', sec_roofline, 120),
 ]
 
 
@@ -954,6 +959,16 @@ def main():
             'sample5_device_hybrid_mb_s', round(2.13064 / o['t'], 2)),
         'bwtcp_device': lambda o: detail.__setitem__(
             'bwtcp_device_encode_mb_s', round(2.13064 / o['t'], 2)),
+        # compact per-stage roofline [ms, pct_of_bound, bound-initial]
+        # — the full entries are on stdout above; the headline carries
+        # just enough to see each stage's distance from its bound
+        'roofline': lambda o: detail.__setitem__('stage_roofline', {
+            k: ([v['ms'], v['pct_of_bound'], v['bound'][0]]
+                if isinstance(v, dict) and 'ms' in v
+                else 'skip' if isinstance(v, dict) and 'skipped' in v
+                else 'err')
+            for k, v in o.items() if k not in ('section', 'at_s',
+                                               'compile_s')}),
     }
 
     # release the (already-spawned, already-warming) device suite and
