@@ -830,17 +830,43 @@ def _emit(detail, het_t, t_host, mb):
             d[k] = 'ref bzip2 -9 enwik8 0.0936 MB/s (BASELINE.md)'
         elif k == 'device_compute_only' and isinstance(v, dict):
             d[k] = {kk: vv for kk, vv in v.items()
-                    if kk != 'vmap_b8_note'}
+                    if kk not in ('vmap_b8_note', 'compile_s')}
+        elif k == 'tracked' and isinstance(v, dict):
+            # "bzip2-9 sample5.ref": {mb_s, size, ref_size} ->
+            # "bzip2-9": [mb_s, size] (ref sizes are test-pinned)
+            d[k] = {kk.split(' ')[0]: [vv.get('mb_s'), vv.get('size')]
+                    for kk, vv in v.items()}
+        elif k == 'cp_sort_8mb_spot' and isinstance(v, dict):
+            d['cp_sort_8mb'] = [v.get('wall_s'),
+                                bool(v.get('host_sa_verified'))]
         else:
             d[k] = v
-    print(json.dumps({
-        'metric': 'bzip2 -9 encode throughput (100MB corpus, %s)'
-                  % pipeline,
-        'value': round(best, 4),
-        'unit': 'MB/s',
-        'vs_baseline': round(best / BASELINE_ENWIK8_RATE, 2),
-        'detail': d,
-    }), flush=True)
+
+    def _line():
+        return json.dumps({
+            'metric': 'bzip2 -9 encode throughput (100MB corpus, %s)'
+                      % pipeline,
+            'value': round(best, 4),
+            'unit': 'MB/s',
+            'vs_baseline': round(best / BASELINE_ENWIK8_RATE, 2),
+            'detail': d,
+        })
+
+    # hard size guard: the driver records a FIXED tail window (r04
+    # artifact: exactly 2000 chars) and a final line longer than it
+    # truncates at the FRONT, parsing to nothing — the round-3 empty-
+    # artifact failure.  Drop diagnostic keys (least essential first)
+    # until the line fits with margin; every dropped dict is still on
+    # stdout in the per-section lines above.
+    out = _line()
+    for k in ('stage_roofline', 'tracked', 'bwtcl_compile_s',
+              'hetero_stats', 'cp_sort_8mb', 'cpu_mesh_validation',
+              'submodes'):
+        if len(out) <= 1900:
+            break
+        if d.pop(k, None) is not None:
+            out = _line()
+    print(out, flush=True)
 
 
 def _spawn_suite_overlapped(submodes, exe=None):
