@@ -566,8 +566,11 @@ def sec_roofline():
     wcount = jnp.int32(len(syms_host) - 1)  # EOB index
     stage('rle2_undo', lambda s: jk.rle2_decode(s, dbuf_cap, wcount)[0],
           dwsyms)
-    # the RLE2-undone index stream IS the MTF index sequence
-    didx = jax.device_put(jnp.asarray(mtf_seq.astype(np.int32)))
+    # the RLE2-undone index stream IS the MTF index sequence; mtf_decode
+    # slices indices[:n] so the input must be padded to the cap (the
+    # production caller parallel/decode.py:183 passes the padded dbuf)
+    didx = jax.device_put(jnp.asarray(np.pad(
+        mtf_seq.astype(np.int32), (0, dbuf_cap - n))))
     stage('mtf_undo', lambda i: jk.mtf_decode(i, dbuf_cap), didx)
     total = jnp.int32(n)
     dU = jax.device_put(jnp.asarray(np.pad(U, (0, dbuf_cap - n))))
@@ -817,8 +820,14 @@ def _emit(detail, het_t, t_host, mb):
     d = {}
     for k, v in detail.items():
         if k == 'sections':
-            bad = {n: s['status'] for n, s in v.items()
-                   if s.get('status') != 'ok'}
+            # keep the first 80 chars of skip/error text: a bare
+            # "error" status in the artifact is undiagnosable (r05
+            # final-run lesson) and the guard below still bounds the
+            # total line
+            bad = {n: (s['status'] if not s.get('detail')
+                       else '%s: %s' % (s['status'],
+                                        str(s['detail'])[:80]))
+                   for n, s in v.items() if s.get('status') != 'ok'}
             d['sections_ok'] = len(v) - len(bad)
             if bad:
                 d['sections_bad'] = bad
